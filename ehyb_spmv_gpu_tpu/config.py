@@ -1,0 +1,134 @@
+"""Hardware constants, feature flags, and the EHYB configuration dataclass.
+
+TPU-native re-design of the reference's compile-time tuning constants
+(``kernel.h:20-28``: warpSize/smSize/maxSharedMem/threadELL/threadLongVec) and its
+``cb_s`` boolean feature-flag struct (``spmv.h:7-15`` with defaults in ``init_cb``
+``spmv.h:65-73``).  On TPU the "explicit cache" is a VMEM-resident window of the
+input vector x, so the central planner input is a VMEM byte budget instead of the
+94 KB shared-memory budget (``kernel.cu:350``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# TPU hardware constants (analog of kernel.h:20-28).
+# ---------------------------------------------------------------------------
+
+LANES = 128          # VPU lane count; last-dim tile size for every dtype.
+SUBLANES_F32 = 8     # float32 sublane count: min f32 tile is (8, 128).
+
+#: Rows per SELL slice.  The TPU analog of the reference's 32-row ELL block
+#: (``convert.c:107``): rows live on VPU *lanes*, so a slice is LANES rows wide and
+#: the ELL width dimension runs along sublanes.  This is the SELL-C-sigma format
+#: with C = 128 and sigma = the partition size (density sort is per partition).
+SLICE_ROWS = LANES
+
+#: Width granularity: slice ELL widths are padded up to a multiple of this so the
+#: width dimension tiles cleanly onto f32 (8, 128) registers.
+WIDTH_ALIGN = SUBLANES_F32
+
+#: Per-core VMEM (bytes).  ~16 MB on v4/v5; keep a conservative default.
+VMEM_BYTES = 16 * 1024 * 1024
+
+#: Default VMEM budget for the cached x window (the analog of
+#: ``maxSharedMem = 93*1024`` at ``kernel.h:23``).  The kernel additionally needs
+#: double-buffered ELL tiles + y tile, so the window gets a fraction of VMEM.
+DEFAULT_WINDOW_BUDGET_BYTES = 2 * 1024 * 1024
+
+#: Window sizes must be a multiple of this many rows so window starts stay aligned
+#: to full (sublane, lane) tiles of x.  (Reference rounds the cache to multiples of
+#: threadELL=1024 rows, ``solver_test.c:55,160``.)
+WINDOW_ALIGN = LANES * SUBLANES_F32  # 1024 — same granularity as the reference.
+
+#: In-window nnz beyond which a row at the head of a partition is split out into
+#: the long-row path (reference: threadLongVec = 512, ``kernel.h:26``,
+#: ``convert.c:92-101``).  On TPU long rows mostly matter for the ER tail (rows
+#: with huge out-of-window counts); in-window widths are bounded by the window.
+DEFAULT_LONG_ROW_THRESHOLD = 512
+
+#: Chunk length for the long-row chunked reduction (reference uses one 512-thread
+#: block per long row, ``kernel.cu:43-67``; we use reshape-and-sum chunks).
+LONG_ROW_CHUNK = 1024
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+# ---------------------------------------------------------------------------
+# Feature flags — the cb_s analog (spmv.h:7-15).
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Features:
+    """Feature flags mirroring the reference's ``cb_s`` struct (``spmv.h:7-15``).
+
+    The reference hard-requires RODR && CACHE && BLOCK (``solver_test.c:322-325``);
+    here every combination is runnable (off-flags select simpler fallback paths).
+    """
+
+    reorder: bool = True   # RODR: METIS partition + two-level row reorder.
+    cache: bool = True     # CACHE: window x caching in VMEM (EHYB vs plain HYB).
+    block: bool = True     # BLOCK: blocked/SELL ELL body (vs plain CSR).
+    sort_rows: bool = True  # in-partition density sort (reordering.c:18-39).
+
+
+# ---------------------------------------------------------------------------
+# The main configuration object.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class EhybConfig:
+    """Tuning + planning configuration for the EHYB pipeline.
+
+    Replaces the scattered compile-time constants of the reference with one
+    serializable config (see SURVEY.md §5 "Config / flag system").
+    """
+
+    # Value dtype for device compute.  TPU has no native f64; float32 is the
+    # production dtype (validated at the reference's 1% tolerance and usually
+    # ~1e-6); float64 is available for CPU correctness runs.
+    dtype: str = "float32"
+    # Column-index dtype inside the window-local ELL body.  The reference uses
+    # int16 window-local columns (spmv.h:46); int32 is the compatible default,
+    # int16 halves index bandwidth when the window fits.
+    index_dtype: str = "int32"
+
+    # --- planner inputs (analog of solver_test.c:53-77 heuristic inputs) ---
+    window_budget_bytes: int = DEFAULT_WINDOW_BUDGET_BYTES
+    #: Force a specific x-window size in rows (multiple of WINDOW_ALIGN);
+    #: None → planner picks from the budget.
+    window_rows: Optional[int] = None
+    #: Minimum number of partitions (nParts); planner may raise it so windows
+    #: fit in the budget.
+    min_parts: int = 1
+
+    # --- format shape ---
+    slice_rows: int = SLICE_ROWS
+    width_align: int = WIDTH_ALIGN
+    long_row_threshold: int = DEFAULT_LONG_ROW_THRESHOLD
+    #: ER tail slice height (rows per ER slice, density-sorted; the analog of the
+    #: reference's per-32-row ER warps, convert.c:148-168).
+    er_slice_rows: int = SLICE_ROWS
+
+    features: Features = dataclasses.field(default_factory=Features)
+
+    # --- partitioner ---
+    #: 'native' = C++ multilevel k-way; 'blocks' = contiguous-chunk fallback;
+    #: 'auto' = native when available else blocks.
+    partitioner: str = "auto"
+    partition_imbalance: float = 1.03
+
+    def np_dtype(self) -> np.dtype:
+        return np.dtype(self.dtype)
+
+    def np_index_dtype(self) -> np.dtype:
+        return np.dtype(self.index_dtype)

@@ -1,0 +1,261 @@
+"""COO → EHYB-TPU conversion.
+
+TPU re-design of ``convert.c`` (``COO2EHYB``, ``convert.c:316-369``).  The
+reference walks partitions row-by-row in C (``vecsGenBlockELL`` ``convert.c:61-146``,
+``vecsGenER`` ``convert.c:148-168``, ``COO2EHYBCore`` ``convert.c:170-311``);
+here every pass is a vectorized NumPy scatter over all nnz at once:
+
+  1. classify every entry: in-window (→ SELL body) vs out-of-window; rows whose
+     out-of-window count exceeds the long-row threshold divert those entries to
+     the long-row stream (cf. ``convert.c:92-101``, but keyed on ER count — see
+     ``core/ehyb.py`` docstring for why);
+  2. SELL body: per-slice width = max in-window row nnz in the 128-row slice,
+     padded to the width alignment; prefix-sum slice offsets; one flat scatter
+     of (value, local column) into the (steps, 128) arrays (role of
+     ``COO2EHYBCore``'s in-window branch, ``convert.c:247-250``);
+  3. ER tail: rows globally density-sorted by ER count (role of
+     ``sortRordrListFull`` ``convert.c:8-31``), SELL-packed with global columns
+     (role of ``convert.c:264-265``) and the ``rowVecER`` scatter-back map;
+  4. long rows: entries sorted by row into a stream with segment ids.
+
+Conversion invariants (checked by ``verify_conversion`` and unit tests, not by
+``exit()`` like the reference's inline checks at ``convert.c:226-304``):
+  * nnz conservation: ELL + ER + long = total (cf. ``convert.c:140``);
+  * per-slice width ≥ every member row's in-window count;
+  * padding accounted via ``stats['waste_ell']`` (role of ``wasteElement``,
+    ``convert.c:310``).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..config import EhybConfig, LANES, cdiv, round_up
+from ..core.coo import MatrixCOO
+from ..core.ehyb import EhybMatrix
+from ..core.planner import Plan
+from ..core.reorder import Reordering
+from ..utils.log import get_logger
+
+log = get_logger(__name__)
+
+
+def _sell_pack(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+               n_rows_padded: int, slice_rows: int, width_align: int,
+               col_dtype, val_dtype) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Pack (row, col, val) into SELL slices of ``slice_rows`` rows.
+
+    ``row`` must already be the *packed* row index (dense in [0, n_rows_padded)).
+    Returns (col_arr, val_arr, slice_offset, waste) where col/val have shape
+    (total_steps, slice_rows), and waste counts zero-padded cells.
+    """
+    n_slices = max(1, cdiv(n_rows_padded, slice_rows))
+    counts = np.bincount(row, minlength=n_slices * slice_rows).astype(np.int64)
+    widths = counts.reshape(n_slices, slice_rows).max(axis=1)
+    widths = (cdiv_arr(widths, width_align) * width_align).astype(np.int64)
+    slice_offset = np.zeros(n_slices + 1, dtype=np.int64)
+    np.cumsum(widths, out=slice_offset[1:])
+    total_steps = int(slice_offset[-1])
+
+    col_arr = np.zeros((total_steps, slice_rows), dtype=col_dtype)
+    val_arr = np.zeros((total_steps, slice_rows), dtype=val_dtype)
+
+    if row.size:
+        # Rank of each entry within its row (entries assumed grouped by row via
+        # stable sort below).
+        order = np.argsort(row, kind="stable")
+        row_s, col_s, val_s = row[order], col[order], val[order]
+        row_ptr = np.zeros(n_slices * slice_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_ptr[1:])
+        rank = np.arange(row_s.size, dtype=np.int64) - row_ptr[row_s]
+        sl = row_s // slice_rows
+        lane = row_s - sl * slice_rows
+        step = slice_offset[sl] + rank
+        flat = step * slice_rows + lane
+        col_arr.reshape(-1)[flat] = col_s.astype(col_dtype)
+        val_arr.reshape(-1)[flat] = val_s.astype(val_dtype)
+
+    waste = int(total_steps * slice_rows - row.size)
+    return col_arr, val_arr, slice_offset.astype(np.int32), waste
+
+
+def cdiv_arr(a: np.ndarray, b: int) -> np.ndarray:
+    return -(-a // b)
+
+
+def coo_to_ehyb(m_reordered: MatrixCOO, reordering: Reordering, plan: Plan,
+                config: EhybConfig) -> EhybMatrix:
+    """Convert a *reordered* COO matrix into :class:`EhybMatrix`.
+
+    ``m_reordered`` must already carry the two-level permutation
+    (``Reordering.apply_to_matrix``); this mirrors the reference, where
+    ``COO2EHYB`` runs after ``matrixReorder`` (``solver_test.c:370`` →
+    ``spmv.cu:73``).
+    """
+    dim = m_reordered.dimension
+    W = plan.window_rows
+    C = config.slice_rows
+    boundaries = reordering.boundaries
+    row, col, val = m_reordered.row, m_reordered.col, m_reordered.val
+    vdt = config.np_dtype()
+    cdt = config.np_index_dtype()
+
+    # --- 1. classification -------------------------------------------------
+    # (With features.cache off, models pass a single-partition plan whose window
+    # spans the matrix, so everything lands in-window with win_start = 0 and the
+    # format degenerates to plain HYB — no special case needed here.)
+    part_of_row = np.searchsorted(boundaries, row, side="right") - 1
+    win_start = boundaries[part_of_row]
+    in_win = (col >= win_start) & (col < win_start + W)
+
+    er_mask = ~in_win
+    er_counts = np.bincount(row[er_mask], minlength=dim)
+    long_row_mask_per_row = er_counts > config.long_row_threshold  # [dim]
+    is_long_entry = er_mask & long_row_mask_per_row[row]
+    er_only = er_mask & ~long_row_mask_per_row[row]
+
+    # --- 2. SELL body ------------------------------------------------------
+    n_rows_padded = round_up(max(dim, 1), C)
+    ell_local_col = (col[in_win] - win_start[in_win]).astype(np.int64)
+    ell_col, ell_val, slice_offset, waste_ell = _sell_pack(
+        row[in_win], ell_local_col, val[in_win],
+        n_rows_padded, C, config.width_align, cdt, vdt)
+    n_slices = slice_offset.shape[0] - 1
+
+    # Window start per slice: interior partition boundaries are aligned to
+    # plan.part_align (== C), so each slice lies in exactly one partition.
+    slice_start_rows = np.arange(n_slices, dtype=np.int64) * C
+    slice_part = np.searchsorted(boundaries, np.minimum(slice_start_rows, dim - 1),
+                                 side="right") - 1
+    slice_win_start = boundaries[slice_part].astype(np.int32)
+
+    # --- 3. ER tail --------------------------------------------------------
+    er_row = row[er_only]
+    er_counts_only = np.bincount(er_row, minlength=dim)
+    er_row_ids = np.flatnonzero(er_counts_only)          # rows with ER entries
+    # Global density sort, descending (convert.c:148-168); stable for ties.
+    er_sort = np.argsort(-er_counts_only[er_row_ids], kind="stable")
+    er_row_ids = er_row_ids[er_sort]
+    n_er_rows = er_row_ids.shape[0]
+    n_er_rows_padded = round_up(max(n_er_rows, 0), config.er_slice_rows) \
+        if n_er_rows else 0
+
+    if n_er_rows:
+        packed_of_row = np.full(dim, -1, dtype=np.int64)
+        packed_of_row[er_row_ids] = np.arange(n_er_rows)
+        er_col, er_val, er_slice_offset, waste_er = _sell_pack(
+            packed_of_row[er_row], col[er_only].astype(np.int64), val[er_only],
+            n_er_rows_padded, config.er_slice_rows, config.width_align,
+            np.int32, vdt)
+        er_rows = np.full(n_er_rows_padded, dim, dtype=np.int32)  # dump row pad
+        er_rows[:n_er_rows] = er_row_ids.astype(np.int32)
+    else:
+        er_col = np.zeros((0, config.er_slice_rows), dtype=np.int32)
+        er_val = np.zeros((0, config.er_slice_rows), dtype=vdt)
+        er_slice_offset = np.zeros(1, dtype=np.int32)
+        er_rows = np.zeros(0, dtype=np.int32)
+        waste_er = 0
+
+    # --- 4. long-row stream ------------------------------------------------
+    long_rows = np.flatnonzero(long_row_mask_per_row).astype(np.int32)
+    if long_rows.size:
+        seg_of_row = np.full(dim, -1, dtype=np.int64)
+        seg_of_row[long_rows] = np.arange(long_rows.size)
+        lorder = np.argsort(row[is_long_entry], kind="stable")
+        long_col = col[is_long_entry][lorder].astype(np.int32)
+        long_val = val[is_long_entry][lorder].astype(vdt)
+        long_seg = seg_of_row[row[is_long_entry][lorder]].astype(np.int32)
+    else:
+        long_col = np.zeros(0, dtype=np.int32)
+        long_val = np.zeros(0, dtype=vdt)
+        long_seg = np.zeros(0, dtype=np.int32)
+
+    nnz_ell = int(in_win.sum())
+    nnz_er = int(er_only.sum())
+    nnz_long = int(is_long_entry.sum())
+    assert nnz_ell + nnz_er + nnz_long == m_reordered.nnz, \
+        "nnz conservation violated (cf. convert.c:140)"
+
+    stats = {
+        "nnz_total": m_reordered.nnz,
+        "nnz_ell": nnz_ell,
+        "nnz_er": nnz_er,                # the reference's `toER` (convert.c:140)
+        "nnz_long": nnz_long,
+        "waste_ell": waste_ell,          # the reference's wasteElement (convert.c:310)
+        "waste_er": waste_er,
+        "n_slices": int(n_slices),
+        "n_er_rows": int(n_er_rows),
+        "n_long_rows": int(long_rows.size),
+        "ell_steps": int(ell_col.shape[0]),
+        "er_steps": int(er_col.shape[0]),
+        "window_rows": W,
+        "n_parts": plan.n_parts,
+    }
+    log.info("COO2EHYB: nnz=%d → ELL %d (%.1f%%, waste %.1f%%) | ER %d | long %d "
+             "(rows: %d slices, %d ER rows, %d long)",
+             m_reordered.nnz, nnz_ell, 100.0 * nnz_ell / max(1, m_reordered.nnz),
+             100.0 * waste_ell / max(1, nnz_ell + waste_ell),
+             nnz_er, nnz_long, n_slices, n_er_rows, long_rows.size)
+
+    return EhybMatrix(
+        dim=dim, nnz_total=m_reordered.nnz, window_rows=W, n_parts=plan.n_parts,
+        ell_col=ell_col, ell_val=ell_val,
+        slice_offset=slice_offset.astype(np.int32),
+        slice_win_start=slice_win_start,
+        er_col=er_col, er_val=er_val,
+        er_slice_offset=er_slice_offset.astype(np.int32), er_rows=er_rows,
+        long_col=long_col, long_val=long_val, long_seg=long_seg,
+        long_rows=long_rows, stats=stats)
+
+
+def ehyb_to_dense(e: EhybMatrix) -> np.ndarray:
+    """Reconstruct the dense (reordered) matrix from an EHYB instance — the
+    inverse mapping used by conversion round-trip tests (the reference has no
+    such check; its conversion is validated only end-to-end)."""
+    dim = e.dim
+    A = np.zeros((dim + 1, dim), dtype=np.float64)  # +1 = ER dump row safety
+    C = e.ell_col.shape[1] if e.ell_col.ndim == 2 else 0
+
+    for s in range(e.n_slices):
+        lo, hi = int(e.slice_offset[s]), int(e.slice_offset[s + 1])
+        win = int(e.slice_win_start[s])
+        for k in range(lo, hi):
+            for lane in range(C):
+                v = float(e.ell_val[k, lane])
+                if v != 0.0:
+                    r = s * C + lane
+                    A[r, win + int(e.ell_col[k, lane])] += v
+
+    CE = e.er_col.shape[1] if e.er_col.ndim == 2 else 0
+    for s in range(e.n_er_slices):
+        lo, hi = int(e.er_slice_offset[s]), int(e.er_slice_offset[s + 1])
+        for k in range(lo, hi):
+            for lane in range(CE):
+                v = float(e.er_val[k, lane])
+                if v != 0.0:
+                    packed = s * CE + lane
+                    r = int(e.er_rows[packed])
+                    A[r, int(e.er_col[k, lane])] += v
+
+    for i in range(e.long_col.shape[0]):
+        r = int(e.long_rows[int(e.long_seg[i])])
+        A[r, int(e.long_col[i])] += float(e.long_val[i])
+    return A[:dim]
+
+
+def verify_conversion(m_reordered: MatrixCOO, e: EhybMatrix,
+                      atol: float = 0.0) -> None:
+    """Exact structural check: EHYB reconstructs the reordered matrix.
+
+    Raises AssertionError on mismatch.  Cost O(dense) — tests only.
+    """
+    dense_ref = np.zeros((m_reordered.n_rows, m_reordered.n_cols))
+    np.add.at(dense_ref, (m_reordered.row, m_reordered.col), m_reordered.val)
+    # Conversion quantizes values to the configured dtype.
+    dense_ref = dense_ref.astype(e.ell_val.dtype).astype(np.float64)
+    dense_got = ehyb_to_dense(e)
+    if atol == 0.0:
+        assert np.array_equal(dense_ref, dense_got), "EHYB reconstruction mismatch"
+    else:
+        np.testing.assert_allclose(dense_got, dense_ref, atol=atol)

@@ -1,0 +1,168 @@
+"""Synthetic sparse-matrix generators.
+
+The reference benchmarks on SuiteSparse matrices fetched from disk
+(``./read/<name>.mtx``, ``solver_test.c:284``).  This environment has no network
+access, so the framework ships generators that reproduce the *structural classes*
+of the paper's corpus: banded FEM-like matrices (audikw_1-class: 3D mesh, 3
+dofs/node, ~80 nnz/row), stencil Laplacians, power-law/irregular matrices (to
+stress the ER tail and long-row paths), and randomly permuted variants (to make
+the METIS-style partitioner actually matter, since freshly generated meshes are
+already band-ordered).
+
+All generators are deterministic given their arguments.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.coo import MatrixCOO, coalesce
+
+
+def diag_matrix(dim: int, value: float = 2.0) -> MatrixCOO:
+    i = np.arange(dim, dtype=np.int64)
+    return MatrixCOO(dim, dim, i, i, np.full(dim, value))
+
+
+def poisson2d(n: int) -> MatrixCOO:
+    """5-point Laplacian on an n×n grid (dim = n², ~5 nnz/row, SPD)."""
+    idx = np.arange(n * n, dtype=np.int64).reshape(n, n)
+    rows, cols, vals = [], [], []
+
+    def add(r, c, v):
+        rows.append(r.ravel())
+        cols.append(c.ravel())
+        vals.append(np.full(r.size, v))
+
+    add(idx, idx, 4.0)
+    add(idx[1:, :], idx[:-1, :], -1.0)
+    add(idx[:-1, :], idx[1:, :], -1.0)
+    add(idx[:, 1:], idx[:, :-1], -1.0)
+    add(idx[:, :-1], idx[:, 1:], -1.0)
+    return MatrixCOO(n * n, n * n, np.concatenate(rows), np.concatenate(cols),
+                     np.concatenate(vals))
+
+
+def stencil3d(n: int, points: int = 7) -> MatrixCOO:
+    """7- or 27-point Laplacian-like stencil on an n³ grid."""
+    if points not in (7, 27):
+        raise ValueError("points must be 7 or 27")
+    dim = n ** 3
+    idx = np.arange(dim, dtype=np.int64).reshape(n, n, n)
+    rows, cols, vals = [], [], []
+    if points == 7:
+        offsets = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                   (0, 0, 1), (0, 0, -1)]
+    else:
+        offsets = [(dx, dy, dz)
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+                   if (dx, dy, dz) != (0, 0, 0)]
+    rows.append(idx.ravel())
+    cols.append(idx.ravel())
+    vals.append(np.full(dim, float(len(offsets))))
+    for dx, dy, dz in offsets:
+        sl_r = (slice(max(0, -dx), n - max(0, dx)),
+                slice(max(0, -dy), n - max(0, dy)),
+                slice(max(0, -dz), n - max(0, dz)))
+        sl_c = (slice(max(0, dx), n - max(0, -dx)),
+                slice(max(0, dy), n - max(0, -dy)),
+                slice(max(0, dz), n - max(0, -dz)))
+        r = idx[sl_r].ravel()
+        c = idx[sl_c].ravel()
+        rows.append(r)
+        cols.append(c)
+        vals.append(np.full(r.size, -1.0 / len(offsets)))
+    return MatrixCOO(dim, dim, np.concatenate(rows), np.concatenate(cols),
+                     np.concatenate(vals))
+
+
+def fem3d(n: int, dofs: int = 3, points: int = 27, seed: int = 0) -> MatrixCOO:
+    """audikw_1-class structural FEM analog: n³-node 3D mesh, ``points``-point
+    node stencil, ``dofs`` degrees of freedom per node (dense dofs×dofs coupling
+    blocks) — dim = dofs·n³, ~points·dofs nnz/row.  ``fem3d(68)`` ≈ audikw_1's
+    scale (dim ≈ 943k, nnz ≈ 76M)."""
+    base = stencil3d(n, points)
+    rng = np.random.default_rng(seed)
+    # Expand each node entry to a dofs×dofs dense block.
+    di = np.arange(dofs, dtype=np.int64)
+    bi = np.repeat(di, dofs)   # block-row offsets
+    bj = np.tile(di, dofs)     # block-col offsets
+    row = (base.row[:, None] * dofs + bi[None, :]).ravel()
+    col = (base.col[:, None] * dofs + bj[None, :]).ravel()
+    block_vals = rng.standard_normal((base.nnz, dofs * dofs)) * 0.1
+    # Keep diagonal dominance for stable power iterations.
+    diag_mask = (row == col)
+    val = block_vals.ravel()
+    val[diag_mask] += float(points)
+    dim = base.n_rows * dofs
+    return MatrixCOO(dim, dim, row, col, val)
+
+
+def random_general(dim: int, avg_nnz_per_row: int, seed: int = 0,
+                   power_law: float = 0.0, symmetric: bool = False) -> MatrixCOO:
+    """Random matrix with ~``avg_nnz_per_row`` nnz/row.  ``power_law`` > 0 skews
+    the per-row counts toward a heavy tail (stress for the density sort, ER tail,
+    and long-row path — cf. the reference's long-vector extraction at
+    ``convert.c:92-101``)."""
+    rng = np.random.default_rng(seed)
+    if power_law > 0:
+        w = (1.0 + np.arange(dim)) ** (-power_law)
+        rng.shuffle(w)
+        counts = rng.poisson(avg_nnz_per_row * dim * w / w.sum())
+    else:
+        counts = rng.poisson(avg_nnz_per_row, size=dim)
+    counts = np.clip(counts, 1, dim).astype(np.int64)
+    row = np.repeat(np.arange(dim, dtype=np.int64), counts)
+    col = rng.integers(0, dim, size=row.shape[0], dtype=np.int64)
+    val = rng.standard_normal(row.shape[0]) * 0.5
+    m = coalesce(MatrixCOO(dim, dim, row, col, val))
+    if symmetric:
+        m = coalesce(MatrixCOO(dim, dim,
+                               np.concatenate([m.row, m.col]),
+                               np.concatenate([m.col, m.row]),
+                               np.concatenate([m.val, m.val]) * 0.5))
+    return m
+
+
+def with_dense_rows(m: MatrixCOO, n_dense: int, density: float = 0.5,
+                    seed: int = 1) -> MatrixCOO:
+    """Inject ``n_dense`` pathological dense rows (the long-row stress case the
+    reference handles with ``longRowKernel``, ``kernel.cu:43-67``)."""
+    rng = np.random.default_rng(seed)
+    dim = m.dimension
+    rows_sel = rng.choice(dim, size=n_dense, replace=False)
+    per = max(1, int(density * dim))
+    new_row = np.repeat(rows_sel.astype(np.int64), per)
+    new_col = np.concatenate([
+        rng.choice(dim, size=per, replace=False).astype(np.int64)
+        for _ in range(n_dense)])
+    new_val = rng.standard_normal(new_row.shape[0]) * 0.01
+    return coalesce(MatrixCOO(dim, dim,
+                              np.concatenate([m.row, new_row]),
+                              np.concatenate([m.col, new_col]),
+                              np.concatenate([m.val, new_val])))
+
+
+def permuted(m: MatrixCOO, seed: int = 0) -> MatrixCOO:
+    """Apply a random symmetric permutation P·A·Pᵀ — destroys the generator's
+    natural band ordering so partitioning/reordering has real work to do."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(m.dimension).astype(np.int64)
+    return MatrixCOO(m.n_rows, m.n_cols, perm[m.row], perm[m.col], m.val.copy())
+
+
+#: Named corpus used by tests and the benchmark sweep (the stand-in for the
+#: paper's SuiteSparse appendix list, ``README.md:3``).
+CORPUS = {
+    # name: zero-arg constructor
+    "diag4k": lambda: diag_matrix(4096),
+    "poisson2d_64": lambda: poisson2d(64),
+    "poisson2d_512": lambda: poisson2d(512),
+    "stencil3d_32": lambda: stencil3d(32, 7),
+    "stencil27_24": lambda: stencil3d(24, 27),
+    "fem3d_16": lambda: fem3d(16),
+    "fem3d_32": lambda: fem3d(32),
+    "fem3d_68_audikw_class": lambda: fem3d(68),
+    "random_16k": lambda: random_general(16384, 24, seed=3),
+    "powerlaw_16k": lambda: random_general(16384, 24, seed=4, power_law=0.7),
+    "permuted_poisson_512": lambda: permuted(poisson2d(512), seed=7),
+}

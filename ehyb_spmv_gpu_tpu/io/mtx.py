@@ -1,0 +1,177 @@
+"""Matrix Market (``.mtx``) reader/writer.
+
+Re-implements the slice of the NIST mmio library the reference actually uses —
+banner parsing (``mm_read_banner`` ``mmio.c:96``), size line
+(``mm_read_mtx_crd_size`` ``mmio.c:189``), typecode checks (``mmio.h:31-47``) —
+plus the driver-side entry parsing and symmetric expansion
+(``solver_test.c:127-265``).  Goes beyond the reference (which only supports
+``real coordinate``): ``integer`` and ``pattern`` fields and ``skew-symmetric``
+symmetry are handled; ``complex`` and ``array`` formats raise a clear error.
+
+The symmetric reader mirrors the reference's lower-triangle expansion
+(``solver_test.c:235-260``): every off-diagonal (i, j) produces the mirrored
+(j, i) with the same value (negated for skew).
+"""
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import io as _io
+from typing import IO, Union
+
+import numpy as np
+
+from ..core.coo import MatrixCOO
+
+BANNER = "%%MatrixMarket"
+
+_VALID_OBJECTS = {"matrix"}
+_VALID_FORMATS = {"coordinate", "array"}
+_VALID_FIELDS = {"real", "integer", "pattern", "complex"}
+_VALID_SYMMETRIES = {"general", "symmetric", "skew-symmetric", "hermitian"}
+
+
+@dataclasses.dataclass(frozen=True)
+class MtxHeader:
+    """Parsed banner + size line (role of the mmio typecode, ``mmio.h:10-47``)."""
+
+    object: str
+    format: str
+    field: str
+    symmetry: str
+    n_rows: int
+    n_cols: int
+    n_entries: int  # stored entries (lower triangle only if symmetric)
+
+    @property
+    def is_symmetric(self) -> bool:
+        return self.symmetry in ("symmetric", "hermitian")
+
+    @property
+    def is_skew(self) -> bool:
+        return self.symmetry == "skew-symmetric"
+
+
+class MtxError(ValueError):
+    pass
+
+
+def _open(path_or_file: Union[str, IO]) -> IO:
+    if hasattr(path_or_file, "read"):
+        return path_or_file
+    path = str(path_or_file)
+    if path.endswith(".gz"):
+        return _io.TextIOWrapper(gzip.open(path, "rb"))
+    return open(path, "r")
+
+
+def read_header(f: IO) -> MtxHeader:
+    """Parse the ``%%MatrixMarket`` banner and the size line, skipping ``%``
+    comment lines (``mm_read_banner`` ``mmio.c:96-179`` +
+    ``mm_read_mtx_crd_size`` ``mmio.c:189-233``)."""
+    line = f.readline()
+    if not line or not line.startswith(BANNER):
+        raise MtxError(f"missing {BANNER} banner")
+    parts = line.strip().split()
+    if len(parts) != 5:
+        raise MtxError(f"malformed banner: {line.strip()!r}")
+    _, obj, fmt, field, sym = (p.lower() for p in parts)
+    if obj not in _VALID_OBJECTS:
+        raise MtxError(f"unsupported object {obj!r}")
+    if fmt not in _VALID_FORMATS:
+        raise MtxError(f"unsupported format {fmt!r}")
+    if field not in _VALID_FIELDS:
+        raise MtxError(f"unsupported field {field!r}")
+    if sym not in _VALID_SYMMETRIES:
+        raise MtxError(f"unsupported symmetry {sym!r}")
+    if fmt == "array":
+        raise MtxError("dense 'array' format not supported (sparse framework)")
+    if field == "complex":
+        raise MtxError("'complex' field not supported")
+
+    # Size line: first non-comment, non-blank line.
+    while True:
+        line = f.readline()
+        if not line:
+            raise MtxError("EOF before size line")
+        s = line.strip()
+        if s and not s.startswith("%"):
+            break
+    dims = s.split()
+    if len(dims) != 3:
+        raise MtxError(f"malformed size line: {s!r}")
+    n_rows, n_cols, n_entries = (int(d) for d in dims)
+    return MtxHeader(obj, fmt, field, sym, n_rows, n_cols, n_entries)
+
+
+def read_mtx(path_or_file: Union[str, IO], expand_symmetry: bool = True) -> MatrixCOO:
+    """Read a coordinate ``.mtx`` file into :class:`MatrixCOO` (0-based indices).
+
+    With ``expand_symmetry`` (default), symmetric/hermitian/skew files are
+    expanded to the full pattern exactly as the reference's symmetric reader does
+    (``solver_test.c:235-260``).
+    """
+    f = _open(path_or_file)
+    close = f is not path_or_file
+    try:
+        header = read_header(f)
+        body = f.read()
+    finally:
+        if close:
+            f.close()
+
+    # Strip any trailing comment lines (rare but legal).
+    if "%" in body:
+        body = "\n".join(ln for ln in body.splitlines()
+                         if ln.strip() and not ln.lstrip().startswith("%"))
+
+    if header.field == "pattern":
+        data = np.fromiter((float(t) for t in body.split()), dtype=np.float64)
+        if data.size != header.n_entries * 2:
+            raise MtxError(
+                f"expected {header.n_entries} (i j) pairs, got {data.size} tokens")
+        data = data.reshape(-1, 2)
+        row = data[:, 0].astype(np.int64) - 1
+        col = data[:, 1].astype(np.int64) - 1
+        val = np.ones(row.shape[0], dtype=np.float64)
+    else:
+        data = np.fromiter((float(t) for t in body.split()), dtype=np.float64)
+        if data.size != header.n_entries * 3:
+            raise MtxError(
+                f"expected {header.n_entries} (i j v) triples, got {data.size} tokens")
+        data = data.reshape(-1, 3)
+        row = data[:, 0].astype(np.int64) - 1
+        col = data[:, 1].astype(np.int64) - 1
+        val = data[:, 2].copy()
+
+    if expand_symmetry and (header.is_symmetric or header.is_skew):
+        off = row != col
+        sign = -1.0 if header.is_skew else 1.0
+        row = np.concatenate([row, col[off]])
+        col = np.concatenate([col, data[:, 0].astype(np.int64)[off] - 1])
+        val = np.concatenate([val, sign * val[off]])
+
+    return MatrixCOO(header.n_rows, header.n_cols, row, col, val)
+
+
+def write_mtx(path: str, m: MatrixCOO, symmetry: str = "general",
+              field: str = "real") -> None:
+    """Write a COO matrix as a coordinate ``.mtx`` file (1-based indices).
+
+    For ``symmetry='symmetric'`` only the lower triangle is stored (the caller
+    must pass a structurally symmetric matrix).
+    """
+    if symmetry not in _VALID_SYMMETRIES:
+        raise MtxError(f"unsupported symmetry {symmetry!r}")
+    row, col, val = m.row, m.col, m.val
+    if symmetry in ("symmetric", "skew-symmetric"):
+        keep = row >= col
+        row, col, val = row[keep], col[keep], val[keep]
+    with open(path, "w") as f:
+        f.write(f"{BANNER} matrix coordinate {field} {symmetry}\n")
+        f.write(f"{m.n_rows} {m.n_cols} {row.shape[0]}\n")
+        if field == "pattern":
+            np.savetxt(f, np.column_stack([row + 1, col + 1]), fmt="%d %d")
+        else:
+            np.savetxt(f, np.column_stack([row + 1, col + 1, val]),
+                       fmt="%d %d %.17g")

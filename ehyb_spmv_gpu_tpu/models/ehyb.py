@@ -1,0 +1,131 @@
+"""The EHYB model family — the framework's flagship.
+
+Pipeline per ``setup`` (mirrors ``main`` → ``matrixReorder`` → ``spmvGPuEHYB``,
+``solver_test.c:267-389``):
+
+  1. :func:`~..core.planner.make_plan` — VMEM-window planner
+     (role of ``solver_test.c:53-77``);
+  2. :func:`~..partition.partition_rows` — k-way graph partition
+     (role of ``MTMETIS_PartGraphKway``, ``reordering.c:280-293``);
+  3. :func:`~..core.reorder.two_level_reorder` — partition grouping +
+     in-partition density sort (``reordering.c:231-378``);
+  4. :func:`~..core.convert.coo_to_ehyb` — format conversion
+     (``COO2EHYB``, ``convert.c:316-369``);
+  5. device upload (role of ``cudaMallocTransDataEHYB``, ``spmv.cu:6-60``).
+
+Variants:
+  * :class:`EhybXlaSpmv` — EHYB format, pure-XLA gather/segment-sum apply;
+  * :class:`EhybSpmv`    — EHYB format, Pallas fused kernel for the SELL body
+    (falls back to the XLA path on non-TPU backends);
+  * :class:`HybSpmv`     — CACHE off: single whole-matrix window (plain HYB,
+    the ablation the reference can express but cannot run — it hard-requires
+    RODR && CACHE && BLOCK at ``solver_test.c:322-325``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EhybConfig, round_up, LANES
+from ..core.coo import MatrixCOO
+from ..core.convert import coo_to_ehyb
+from ..core.ehyb import EhybMatrix
+from ..core.planner import make_plan, Plan
+from ..core.reorder import Reordering, identity_reordering, two_level_reorder
+from ..partition import partition_rows
+from ..ops.xla_ops import ehyb_apply_xla
+from ..utils.log import get_logger
+from .base import SpmvModel
+
+log = get_logger(__name__)
+
+
+class EhybXlaSpmv(SpmvModel):
+    """EHYB pipeline with the pure-XLA apply (reference semantics everywhere)."""
+
+    name = "ehyb_xla"
+
+    def setup(self, m: MatrixCOO) -> "EhybXlaSpmv":
+        self.m = m
+        cfg = self.config
+        dim = m.dimension
+
+        self.plan: Plan = make_plan(dim, cfg)
+        if cfg.features.reorder and self.plan.n_parts > 1:
+            labels = partition_rows(m, self.plan.n_parts, cfg.partitioner,
+                                    cfg.partition_imbalance)
+            self.reordering: Reordering = two_level_reorder(
+                m, labels, self.plan, sort_rows=cfg.features.sort_rows)
+        else:
+            bounds = np.arange(self.plan.n_parts + 1) * self.plan.window_rows
+            bounds = np.minimum(bounds, dim)
+            bounds[-1] = dim
+            self.reordering = identity_reordering(dim, bounds)
+            if cfg.features.sort_rows and self.plan.n_parts > 1:
+                # Density sort still applies on top of identity grouping.
+                labels = np.searchsorted(bounds, np.arange(dim), side="right") - 1
+                self.reordering = two_level_reorder(
+                    m, labels.astype(np.int32), self.plan, sort_rows=True)
+
+        m_r = self.reordering.apply_to_matrix(m)
+        self.ehyb: EhybMatrix = coo_to_ehyb(m_r, self.reordering, self.plan, cfg)
+        self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
+        log.info("%s ready: %s | stats=%s", self.name, self.plan.describe(),
+                 self.ehyb.stats)
+        return self
+
+    # x/y move through the reordered space (vectorReorder / vectorRecover,
+    # solver_test.c:376,383) — outside the timed region, like the reference.
+    def prepare_x(self, x: np.ndarray) -> jax.Array:
+        xr = self.reordering.vector_reorder(np.asarray(x))
+        return jnp.asarray(self.ehyb.pad_x(xr.astype(self.config.dtype)))
+
+    def recover_y(self, y: jax.Array) -> np.ndarray:
+        y_np = np.asarray(y, dtype=np.float64)[: self.m.n_rows]
+        return self.reordering.vector_recover(y_np)
+
+    def apply(self, x_dev: jax.Array) -> jax.Array:
+        return ehyb_apply_xla(self.dev, x_dev)
+
+
+class EhybSpmv(EhybXlaSpmv):
+    """Flagship: EHYB with the fused Pallas SELL-body kernel on TPU."""
+
+    name = "ehyb"
+
+    def setup(self, m: MatrixCOO) -> "EhybSpmv":
+        super().setup(m)
+        self._use_pallas = jax.default_backend() == "tpu"
+        if self._use_pallas:
+            from ..ops.ehyb_pallas import make_ehyb_pallas_apply
+
+            self._pallas_apply = make_ehyb_pallas_apply(self.dev, self.config)
+        return self
+
+    def apply(self, x_dev: jax.Array) -> jax.Array:
+        if getattr(self, "_use_pallas", False):
+            return self._pallas_apply(self.dev, x_dev)
+        return ehyb_apply_xla(self.dev, x_dev)
+
+
+class HybSpmv(EhybXlaSpmv):
+    """Plain HYB ablation: no windows (single whole-matrix window), optional
+    density sort.  Equivalent to CACHE=off in the reference's flag scheme
+    (``spmv.h:10``)."""
+
+    name = "hyb"
+
+    def setup(self, m: MatrixCOO) -> "HybSpmv":
+        cfg = dataclasses.replace(
+            self.config,
+            window_rows=round_up(m.dimension, 1024),
+            min_parts=1,
+            features=dataclasses.replace(self.config.features,
+                                         reorder=False, cache=False),
+        )
+        self.config = cfg
+        return super().setup(m)

@@ -1,0 +1,130 @@
+"""Pure-XLA SpMV ops: CSR/COO segment-sum, BCOO baseline, and the EHYB apply.
+
+These are the framework's always-available compute paths:
+  * they run on CPU (tests, oracle cross-checks) and on TPU without Pallas;
+  * the EHYB XLA path is the semantic reference for the Pallas kernel
+    (``ops/ehyb_pallas.py``) — both consume the same :class:`EhybDevice`;
+  * the BCOO path is the in-repo "vendor baseline", playing the role of the
+    reference's cuSPARSE comparison paths (``spmvGeneric`` ``spmv.cu:135-281``).
+
+All functions are jit-friendly: static shapes only, scatter/gather via
+``segment_sum`` and ``.at[].add``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LANES
+from ..core.ehyb import EhybDevice
+
+
+# ---------------------------------------------------------------------------
+# COO / CSR
+# ---------------------------------------------------------------------------
+
+def coo_spmv(row: jax.Array, col: jax.Array, val: jax.Array, x: jax.Array,
+             n_rows: int) -> jax.Array:
+    """y = A·x from COO triples via segment-sum (rows must be sorted for best
+    performance; correctness does not require it)."""
+    contrib = val * jnp.take(x, col, axis=0)
+    return jax.ops.segment_sum(contrib, row, num_segments=n_rows,
+                               indices_are_sorted=True)
+
+
+def bcoo_spmv_baseline(m_coo, x: jax.Array):
+    """``jax.experimental.sparse`` BCOO matvec — the vendor-library baseline
+    (role of the cuSPARSE CSR paths, ``spmv.cu:135-281``)."""
+    from jax.experimental import sparse as jsparse
+
+    indices = jnp.stack([jnp.asarray(m_coo.row), jnp.asarray(m_coo.col)], axis=1)
+    mat = jsparse.BCOO((jnp.asarray(m_coo.val, dtype=x.dtype), indices),
+                       shape=(m_coo.n_rows, m_coo.n_cols))
+    return mat @ x
+
+
+# ---------------------------------------------------------------------------
+# EHYB apply (XLA path)
+# ---------------------------------------------------------------------------
+
+def _step_slice_ids(slice_offset: jax.Array, n_steps: int) -> jax.Array:
+    """Map each width-step k to its slice id via the offset prefix sums."""
+    steps = jnp.arange(n_steps, dtype=slice_offset.dtype)
+    return jnp.searchsorted(slice_offset[1:], steps, side="right")
+
+
+def ehyb_body_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
+    """SELL body: y[s*128+lane] = Σ_k ell_val[k,lane]·x[win(s)+ell_col[k,lane]].
+
+    Semantic reference for phase 1 of the fused kernel
+    (``kernelCachedBlockedELL`` ``kernel.cu:150-168``)."""
+    n_steps, C = e.ell_val.shape
+    n_slices = e.slice_win_start.shape[0]
+    if n_steps == 0:
+        return jnp.zeros(n_slices * C, dtype=x_pad.dtype)
+    step_slice = _step_slice_ids(e.slice_offset, n_steps)
+    step_win = jnp.take(e.slice_win_start, step_slice, axis=0)  # (steps,)
+    gidx = step_win[:, None].astype(jnp.int32) + e.ell_col.astype(jnp.int32)
+    contrib = e.ell_val.astype(x_pad.dtype) * jnp.take(x_pad, gidx, axis=0)
+    y2 = jax.ops.segment_sum(contrib, step_slice, num_segments=n_slices,
+                             indices_are_sorted=True)
+    return y2.reshape(-1)  # (n_slices * C,)
+
+
+def ehyb_er_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
+    """ER tail: packed yER (density-sorted row order, global columns) — phase 2
+    of the fused kernel (``kernel.cu:169-194``)."""
+    n_steps, C = e.er_val.shape
+    n_slices = max(e.er_slice_offset.shape[0] - 1, 0)
+    if n_steps == 0 or n_slices == 0:
+        return jnp.zeros(0, dtype=x_pad.dtype)
+    step_slice = _step_slice_ids(e.er_slice_offset, n_steps)
+    contrib = e.er_val.astype(x_pad.dtype) * jnp.take(x_pad, e.er_col, axis=0)
+    y2 = jax.ops.segment_sum(contrib, step_slice, num_segments=n_slices,
+                             indices_are_sorted=True)
+    return y2.reshape(-1)  # (n_er_slices * C,)
+
+
+def ehyb_long_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
+    """Long-row partial sums (one scalar per long row) — role of
+    ``longRowKernel`` (``kernel.cu:43-67``) without atomics: a segment
+    reduction over the (col, val) stream."""
+    n_long = e.long_rows.shape[0]
+    if n_long == 0 or e.long_col.shape[0] == 0:
+        return jnp.zeros(0, dtype=x_pad.dtype)
+    contrib = e.long_val.astype(x_pad.dtype) * jnp.take(x_pad, e.long_col, axis=0)
+    return jax.ops.segment_sum(contrib, e.long_seg, num_segments=n_long,
+                               indices_are_sorted=True)
+
+
+def combine_ehyb(e: EhybDevice, y_body: jax.Array, y_er: jax.Array,
+                 y_long: jax.Array) -> jax.Array:
+    """Assemble the final (reordered, padded) y from the three phases.
+
+    Scatter-back of the packed ER result is the role of ``vecReorderER``
+    (``kernel.cu:69-77``); long-row adds are the ``atomicAdd`` aggregation at
+    ``kernel.cu:64-66``.  Unlike the reference — which relies on phase 1 zeroing
+    rows beyond the cache window (``kernel.cu:139-140``, see SURVEY.md quirks) —
+    y is built explicitly from zeros, so the += semantics are always sound.
+    """
+    ny = y_body.shape[0] + LANES  # slack so the dump row `dim` is in range
+    y = jnp.zeros(ny, dtype=y_body.dtype)
+    y = y.at[: y_body.shape[0]].set(y_body)
+    if y_er.shape[0]:
+        y = y.at[e.er_rows].add(y_er, indices_are_sorted=False,
+                                unique_indices=False)
+    if y_long.shape[0]:
+        y = y.at[e.long_rows].add(y_long)
+    return y
+
+
+def ehyb_apply_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
+    """Full EHYB SpMV (XLA path): returns padded reordered y; caller slices
+    ``[:dim]``.  Role of ``matrixVectorEHYB`` (``kernel.cu:490-518``)."""
+    y_body = ehyb_body_xla(e, x_pad)
+    y_er = ehyb_er_xla(e, x_pad)
+    y_long = ehyb_long_xla(e, x_pad)
+    return combine_ehyb(e, y_body, y_er, y_long)

@@ -1,0 +1,100 @@
+"""Benchmark timing + throughput math.
+
+Reproduces the reference's measurement protocol (``spmv.cu:94-122``): warm-up
+iterations, then a timed loop of SpMVs, reporting
+``GFLOP/s = 1e-9 · (2·nnz) · iter / seconds`` — the exact formula at
+``spmv.cu:121-122`` — plus the TPU additions BASELINE.md asks for: a
+bytes-moved model and the roofline fraction per run.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from .log import get_logger
+
+log = get_logger(__name__)
+
+#: Rough per-chip HBM bandwidth (bytes/s) by TPU generation, for roofline audits.
+HBM_BW = {
+    "v4": 1.2e12,
+    "v5 lite": 0.819e12,   # v5e
+    "v5e": 0.819e12,
+    "v5p": 2.765e12,
+    "v6 lite": 1.64e12,    # v6e / Trillium
+    "v6e": 1.64e12,
+    "cpu": 0.05e12,
+}
+
+
+def detect_hbm_bw() -> float:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover
+        kind = "cpu"
+    for k, bw in HBM_BW.items():
+        if k in kind:
+            return bw
+    return HBM_BW["cpu"]
+
+
+@dataclasses.dataclass
+class BenchResult:
+    name: str
+    nnz: int
+    iters: int
+    seconds: float
+    gflops: float          # reference formula (spmv.cu:121)
+    nnz_per_sec: float
+    bytes_model: int       # modeled bytes moved per iteration
+    roofline_gflops: float
+    roofline_frac: float
+
+    def __str__(self) -> str:
+        return (f"[{self.name}] {self.iters} iters in {self.seconds*1e3:.2f} ms → "
+                f"{self.gflops:.2f} GFLOP/s ({self.nnz_per_sec/1e9:.2f} Gnnz/s), "
+                f"roofline {self.roofline_gflops:.0f} GFLOP/s "
+                f"→ {100*self.roofline_frac:.1f}%")
+
+
+def spmv_bytes_model(stats: dict, value_bytes: int = 4,
+                     ell_index_bytes: int = 4, dim: int = 0) -> int:
+    """Modeled HBM bytes per SpMV iteration: stream values + indices (including
+    padding waste), plus one x read and one y write (amortized window reloads
+    ignored — windows are read W bytes per partition, ≪ nnz terms)."""
+    ell = (stats.get("nnz_ell", 0) + stats.get("waste_ell", 0))
+    er = (stats.get("nnz_er", 0) + stats.get("waste_er", 0))
+    lng = stats.get("nnz_long", 0)
+    n_bytes = ell * (value_bytes + ell_index_bytes)
+    n_bytes += er * (value_bytes + 4)
+    n_bytes += lng * (value_bytes + 4)
+    n_bytes += 2 * dim * value_bytes
+    return int(n_bytes)
+
+
+def bench_apply(name: str, apply_iters: Callable[[int], jax.Array], nnz: int,
+                iters: int = 2000, warmup: int = 10,
+                bytes_model: Optional[int] = None) -> BenchResult:
+    """Time ``apply_iters(n)`` (a function running n chained SpMVs on-device and
+    returning a device array).  Protocol mirrors ``spmv.cu:100-119``: warm-up,
+    then one timed region bounded by ``block_until_ready``."""
+    jax.block_until_ready(apply_iters(warmup))
+    t0 = time.perf_counter()
+    jax.block_until_ready(apply_iters(iters))
+    dt = time.perf_counter() - t0
+
+    gflops = 1e-9 * (2.0 * nnz) * iters / dt
+    nnz_rate = nnz * iters / dt
+    bw = detect_hbm_bw()
+    bm = bytes_model if bytes_model is not None else nnz * 8
+    roofline = 1e-9 * (2.0 * nnz) * bw / bm if bm else float("inf")
+    res = BenchResult(
+        name=name, nnz=nnz, iters=iters, seconds=dt, gflops=gflops,
+        nnz_per_sec=nnz_rate, bytes_model=bm, roofline_gflops=roofline,
+        roofline_frac=gflops / roofline if roofline > 0 else 0.0)
+    log.info("%s", res)
+    return res

@@ -1,0 +1,113 @@
+"""Planner, partitioner, and two-level reorder tests (SURVEY.md §4: permutation
+round-trip + invariants as real unit tests)."""
+import numpy as np
+import pytest
+
+from ehyb_spmv_gpu_tpu.config import EhybConfig, WINDOW_ALIGN
+from ehyb_spmv_gpu_tpu.core.coo import deterministic_x, oracle_spmv
+from ehyb_spmv_gpu_tpu.core.planner import make_plan
+from ehyb_spmv_gpu_tpu.core.reorder import (identity_reordering,
+                                            two_level_reorder,
+                                            in_window_counts)
+from ehyb_spmv_gpu_tpu.io import generate
+from ehyb_spmv_gpu_tpu.partition import (edge_cut, partition_blocks,
+                                         partition_rows)
+
+
+def test_plan_small_fits_one_window():
+    cfg = EhybConfig()
+    plan = make_plan(4000, cfg)
+    assert plan.n_parts == 1
+    assert plan.window_rows >= 4000
+    assert plan.window_rows % WINDOW_ALIGN == 0
+
+
+def test_plan_budget_forces_parts():
+    cfg = EhybConfig(window_budget_bytes=64 * 1024)  # 16k f32 rows
+    plan = make_plan(100_000, cfg)
+    assert plan.n_parts >= 7
+    assert plan.window_rows * 4 <= 2 * cfg.window_budget_bytes
+    # window covers one balanced partition with slack
+    assert plan.window_rows >= -(-100_000 // plan.n_parts)
+
+
+def test_plan_explicit_window():
+    cfg = EhybConfig(window_rows=2048)
+    plan = make_plan(10_000, cfg)
+    assert plan.window_rows == 2048
+    assert plan.n_parts == 5
+
+
+def test_partition_blocks_balanced():
+    labels = partition_blocks(1000, 7)
+    sizes = np.bincount(labels, minlength=7)
+    assert sizes.max() - sizes.min() <= 1
+    assert labels.max() == 6
+
+
+def test_reorder_roundtrip(poisson_mid):
+    m = poisson_mid
+    cfg = EhybConfig(window_rows=1024)
+    plan = make_plan(m.dimension, cfg)
+    labels = partition_rows(m, plan.n_parts, "blocks")
+    r = two_level_reorder(m, labels, plan, sort_rows=True)
+
+    # permutation validity
+    assert np.array_equal(np.sort(r.new_to_old), np.arange(m.dimension))
+    assert np.array_equal(r.old_to_new[r.new_to_old], np.arange(m.dimension))
+
+    # vector round trip (vectorReorder → vectorRecover == identity)
+    x = deterministic_x(m.dimension)
+    np.testing.assert_array_equal(r.vector_recover(r.vector_reorder(x)), x)
+
+    # SpMV commutes with symmetric permutation:
+    # recover(A_r · reorder(x)) == A · x
+    m_r = r.apply_to_matrix(m)
+    y_r = oracle_spmv(m_r, r.vector_reorder(x))
+    np.testing.assert_allclose(r.vector_recover(y_r), oracle_spmv(m, x),
+                               rtol=1e-13)
+
+
+def test_reorder_boundaries_aligned(poisson_mid):
+    m = poisson_mid
+    cfg = EhybConfig(window_rows=1024)
+    plan = make_plan(m.dimension, cfg)
+    labels = partition_rows(m, plan.n_parts, "blocks")
+    r = two_level_reorder(m, labels, plan)
+    assert r.boundaries[0] == 0 and r.boundaries[-1] == m.dimension
+    assert np.all(np.diff(r.boundaries) >= 0)
+    interior = r.boundaries[1:-1]
+    assert np.all(interior % plan.part_align == 0)
+
+
+def test_density_sort_descending_within_partition(powerlaw_small):
+    m = powerlaw_small
+    cfg = EhybConfig(window_rows=1024)
+    plan = make_plan(m.dimension, cfg)
+    labels = partition_rows(m, plan.n_parts, "blocks")
+    r = two_level_reorder(m, labels, plan, sort_rows=True)
+    m_r = r.apply_to_matrix(m)
+    counts = in_window_counts(m_r.row, m_r.col, r.boundaries, plan.window_rows,
+                              m.dimension)
+    # within each partition, in-window counts are non-increasing
+    for p in range(r.n_parts):
+        lo, hi = r.boundaries[p], r.boundaries[p + 1]
+        seg = counts[lo:hi]
+        assert np.all(np.diff(seg) <= 0), f"partition {p} not density-sorted"
+
+
+def test_identity_reordering():
+    r = identity_reordering(10, np.array([0, 10]))
+    x = np.arange(10.0)
+    np.testing.assert_array_equal(r.vector_reorder(x), x)
+    assert r.n_parts == 1
+
+
+def test_edge_cut_blocks_vs_scrambled(scrambled):
+    # A banded matrix partitioned in blocks has a small cut; scrambling the
+    # rows makes the block cut terrible (this is why the partitioner exists).
+    m_banded = generate.poisson2d(48)
+    labels = partition_blocks(m_banded.dimension, 8)
+    cut_banded = edge_cut(m_banded, labels)
+    cut_scrambled = edge_cut(scrambled, partition_blocks(scrambled.dimension, 8))
+    assert cut_banded < cut_scrambled / 5
