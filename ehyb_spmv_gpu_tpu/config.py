@@ -127,6 +127,11 @@ class EhybConfig:
     partitioner: str = "auto"
     partition_imbalance: float = 1.03
 
+    # --- artifact caching (improvement over the reference, which rebuilds the
+    #     format from .mtx every run — SURVEY.md §5) ---
+    artifact_cache: bool = False
+    cache_dir: Optional[str] = None
+
     def np_dtype(self) -> np.dtype:
         return np.dtype(self.dtype)
 

@@ -93,13 +93,30 @@ def coo_to_ehyb(m_reordered: MatrixCOO, reordering: Reordering, plan: Plan,
     ``COO2EHYB`` runs after ``matrixReorder`` (``solver_test.c:370`` →
     ``spmv.cu:73``).
     """
-    dim = m_reordered.dimension
-    W = plan.window_rows
+    return convert_core(
+        row=m_reordered.row, col=m_reordered.col, val=m_reordered.val,
+        dim=m_reordered.dimension, boundaries=reordering.boundaries,
+        window_rows=plan.window_rows, n_parts=plan.n_parts, config=config,
+        nnz_label=m_reordered.nnz)
+
+
+def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
+                 boundaries: np.ndarray, window_rows: int, n_parts: int,
+                 config: EhybConfig, nnz_label: int = -1) -> EhybMatrix:
+    """Core conversion on raw triples.
+
+    Row indices must lie in [0, dim); ``boundaries`` partitions the row space.
+    Column indices may lie outside [0, dim) (the multi-chip shard converter
+    passes device-local column coordinates, where off-device columns are
+    negative or beyond the local range — they simply classify as out-of-window).
+    """
+    W = window_rows
     C = config.slice_rows
-    boundaries = reordering.boundaries
-    row, col, val = m_reordered.row, m_reordered.col, m_reordered.val
     vdt = config.np_dtype()
     cdt = config.np_index_dtype()
+    if nnz_label < 0:
+        nnz_label = row.shape[0]
+    nnz_total = row.shape[0]
 
     # --- 1. classification -------------------------------------------------
     # (With features.cache off, models pass a single-partition plan whose window
@@ -174,11 +191,11 @@ def coo_to_ehyb(m_reordered: MatrixCOO, reordering: Reordering, plan: Plan,
     nnz_ell = int(in_win.sum())
     nnz_er = int(er_only.sum())
     nnz_long = int(is_long_entry.sum())
-    assert nnz_ell + nnz_er + nnz_long == m_reordered.nnz, \
+    assert nnz_ell + nnz_er + nnz_long == nnz_total, \
         "nnz conservation violated (cf. convert.c:140)"
 
     stats = {
-        "nnz_total": m_reordered.nnz,
+        "nnz_total": nnz_total,
         "nnz_ell": nnz_ell,
         "nnz_er": nnz_er,                # the reference's `toER` (convert.c:140)
         "nnz_long": nnz_long,
@@ -190,16 +207,16 @@ def coo_to_ehyb(m_reordered: MatrixCOO, reordering: Reordering, plan: Plan,
         "ell_steps": int(ell_col.shape[0]),
         "er_steps": int(er_col.shape[0]),
         "window_rows": W,
-        "n_parts": plan.n_parts,
+        "n_parts": n_parts,
     }
     log.info("COO2EHYB: nnz=%d → ELL %d (%.1f%%, waste %.1f%%) | ER %d | long %d "
              "(rows: %d slices, %d ER rows, %d long)",
-             m_reordered.nnz, nnz_ell, 100.0 * nnz_ell / max(1, m_reordered.nnz),
+             nnz_total, nnz_ell, 100.0 * nnz_ell / max(1, nnz_total),
              100.0 * waste_ell / max(1, nnz_ell + waste_ell),
              nnz_er, nnz_long, n_slices, n_er_rows, long_rows.size)
 
     return EhybMatrix(
-        dim=dim, nnz_total=m_reordered.nnz, window_rows=W, n_parts=plan.n_parts,
+        dim=dim, nnz_total=nnz_total, window_rows=W, n_parts=n_parts,
         ell_col=ell_col, ell_val=ell_val,
         slice_offset=slice_offset.astype(np.int32),
         slice_win_start=slice_win_start,

@@ -55,6 +55,15 @@ class EhybXlaSpmv(SpmvModel):
         dim = m.dimension
 
         self.plan: Plan = make_plan(dim, cfg)
+
+        if cfg.artifact_cache:
+            from ..core.cache import load_artifacts
+
+            hit = load_artifacts(m, cfg, cfg.cache_dir)
+            if hit is not None:
+                self.ehyb, self.reordering = hit
+                self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
+                return self
         if cfg.features.reorder and self.plan.n_parts > 1:
             labels = partition_rows(m, self.plan.n_parts, cfg.partitioner,
                                     cfg.partition_imbalance)
@@ -73,6 +82,10 @@ class EhybXlaSpmv(SpmvModel):
 
         m_r = self.reordering.apply_to_matrix(m)
         self.ehyb: EhybMatrix = coo_to_ehyb(m_r, self.reordering, self.plan, cfg)
+        if cfg.artifact_cache:
+            from ..core.cache import save_artifacts
+
+            save_artifacts(m, cfg, self.ehyb, self.reordering, cfg.cache_dir)
         self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
         log.info("%s ready: %s | stats=%s", self.name, self.plan.describe(),
                  self.ehyb.stats)

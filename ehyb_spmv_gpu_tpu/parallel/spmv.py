@@ -1,0 +1,306 @@
+"""Multi-chip EHYB SpMV over a JAX device mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2 "Parallelism strategies": no
+MPI/NCCL; the MPI include is commented out at ``kernel.h:12``) — but its
+partition/reorder machinery is exactly the preprocessing a distributed
+row-partitioned SpMV needs: METIS minimizes the edge cut, which at the chip
+level is the halo the devices must exchange.  This module is the TPU-native
+realization sketched in SURVEY.md §5 "Distributed communication backend":
+
+  * rows (in the reordered space) are sharded in equal ``R``-row spans over a
+    1-D mesh axis ``"parts"`` — partition-aligned because the reorderer already
+    grouped tightly-coupled rows contiguously;
+  * the SELL **body** reads x windows that live on-device or in a ±window halo
+    fetched from the ring neighbors with ``jax.lax.ppermute`` — the distributed
+    analog of the kernel's cached phase (``kernel.cu:150-168``);
+  * the **ER tail + long rows** read arbitrary global columns, served from an
+    ``all_gather`` of x — the analog of the kernel's uncached global phase
+    (``kernel.cu:169-194``).  (A compressed per-pair halo exchange is the
+    planned refinement; all-gather is the correct, simple baseline.)
+
+Everything is SPMD via ``jax.shard_map`` with static per-shard shapes: the
+per-device EHYB sub-formats are padded to common shapes and stacked on a
+leading device axis.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EhybConfig, LANES, cdiv, round_up
+from ..core.convert import convert_core
+from ..core.coo import MatrixCOO
+from ..core.ehyb import EhybDevice, EhybMatrix
+from ..core.planner import Plan, make_plan
+from ..core.reorder import Reordering, identity_reordering, two_level_reorder
+from ..models.base import SpmvModel
+from ..ops.xla_ops import (combine_ehyb, ehyb_body_xla, ehyb_er_xla,
+                           ehyb_long_xla)
+from ..partition import partition_rows
+from ..utils.log import get_logger
+
+log = get_logger(__name__)
+
+AXIS = "parts"
+
+
+def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+    """Pad axis 0 of ``a`` to length n with ``fill``."""
+    if a.shape[0] == n:
+        return a
+    pad = np.full((n - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+@dataclasses.dataclass
+class ShardedEhyb:
+    """Stacked per-device EHYB arrays (leading axis = device)."""
+
+    dim: int            # true rows
+    rows_per_dev: int   # R (multiple of LANES)
+    window_rows: int    # W <= R
+    n_dev: int
+
+    ell_col: np.ndarray          # (D, steps, C)
+    ell_val: np.ndarray
+    slice_offset: np.ndarray     # (D, R/C + 1)
+    slice_win_start: np.ndarray  # (D, R/C)  — offsets into the EXTENDED x
+    er_col: np.ndarray           # (D, er_steps, C) — GLOBAL columns
+    er_val: np.ndarray
+    er_slice_offset: np.ndarray  # (D, n_er_slices + 1)
+    er_rows: np.ndarray          # (D, n_er_slices*C) — LOCAL rows, dump = R
+    long_col: np.ndarray         # (D, L) — GLOBAL columns
+    long_val: np.ndarray
+    long_seg: np.ndarray         # (D, L)
+    long_rows: np.ndarray        # (D, n_long) — LOCAL rows, dump = R
+
+    stats: dict = dataclasses.field(default_factory=dict)
+
+
+def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
+                  n_dev: int, config: EhybConfig) -> ShardedEhyb:
+    """Slice the reordered matrix into D row spans and convert each span with
+    device-local row/window coordinates; pad + stack to uniform shapes."""
+    dim = m_r.dimension
+    R = round_up(cdiv(dim, n_dev), LANES)
+    W = min(window_rows, R)  # halo is one neighbor deep: window ≤ shard span
+
+    shards = []
+    for d in range(n_dev):
+        b0, b1 = d * R, min((d + 1) * R, dim)
+        rows_d = max(b1 - b0, 0)
+        sel = (m_r.row >= b0) & (m_r.row < b1)
+        row_l = m_r.row[sel] - b0
+        col_l = m_r.col[sel] - b0  # off-device cols go negative / beyond R
+        val_l = m_r.val[sel]
+
+        # Local partition boundaries: global boundaries restricted to this
+        # span, in local coords; the boundary just below b0 is kept (negative)
+        # so rows of a straddling partition keep their true window start —
+        # clamped to -W so every window fits inside the ±W halo (entries of a
+        # deeper straddle simply classify as ER; the planner keeps partitions
+        # ≤ the shard span, so this is a corner case, not the common path).
+        gb = reordering.boundaries.astype(np.int64)
+        below = gb[gb <= b0]
+        first = max(below.max() - b0, -W) if below.size else 0
+        inside = gb[(gb > b0) & (gb < b1)] - b0
+        bounds_l = np.concatenate([[first], inside, [R]])
+
+        e = convert_core(row_l, col_l, val_l, dim=R, boundaries=bounds_l,
+                         window_rows=W, n_parts=len(bounds_l) - 1,
+                         config=config)
+        # Window starts into the extended x [halo_W | local_R | halo_W].
+        e.slice_win_start = (e.slice_win_start.astype(np.int64) + W).astype(np.int32)
+        # ER/long columns back to global coordinates (padding cells have
+        # val == 0, so the shifted padding gather is harmless).
+        e.er_col = (e.er_col.astype(np.int64) + b0).astype(np.int32)
+        e.long_col = (e.long_col.astype(np.int64) + b0).astype(np.int32)
+        shards.append(e)
+
+    # ---- pad to common shapes + stack ----
+    C = config.slice_rows
+    steps = max(max(s.ell_col.shape[0] for s in shards), 1)
+    er_steps = max(max(s.er_col.shape[0] for s in shards), 1)
+    n_er_slices = max(max(s.n_er_slices for s in shards), 1)
+    n_long = max(max(s.n_long for s in shards), 1)
+    n_long_entries = max(max(s.long_col.shape[0] for s in shards), 1)
+
+    def stack(field_fn):
+        return np.stack([field_fn(s) for s in shards], axis=0)
+
+    def pad_offsets(off: np.ndarray, n_slices_target: int, total: int):
+        off = off.astype(np.int32)
+        out = _pad_rows(off, n_slices_target + 1, fill=off[-1])
+        out[-1] = total  # extend the final slice over the padded steps
+        return out
+
+    sh = ShardedEhyb(
+        dim=dim, rows_per_dev=R, window_rows=W, n_dev=n_dev,
+        ell_col=stack(lambda s: _pad_rows(s.ell_col, steps)),
+        ell_val=stack(lambda s: _pad_rows(s.ell_val, steps)),
+        slice_offset=stack(lambda s: pad_offsets(s.slice_offset,
+                                                 s.n_slices, steps)),
+        slice_win_start=stack(lambda s: s.slice_win_start),
+        er_col=stack(lambda s: _pad_rows(s.er_col, er_steps)),
+        er_val=stack(lambda s: _pad_rows(s.er_val, er_steps)),
+        er_slice_offset=stack(lambda s: pad_offsets(s.er_slice_offset,
+                                                    n_er_slices, er_steps)),
+        er_rows=stack(lambda s: _pad_rows(s.er_rows, n_er_slices * C, fill=R)),
+        long_col=stack(lambda s: _pad_rows(s.long_col, n_long_entries)),
+        long_val=stack(lambda s: _pad_rows(s.long_val, n_long_entries)),
+        long_seg=stack(lambda s: _pad_rows(s.long_seg, n_long_entries,
+                                           fill=n_long - 1)),
+        long_rows=stack(lambda s: _pad_rows(s.long_rows, n_long, fill=R)),
+        stats={"per_dev": [s.stats for s in shards], "R": R, "W": W},
+    )
+    return sh
+
+
+def _shard_body(sh_meta, x_shard, ell_col, ell_val, slice_offset,
+                slice_win_start, er_col, er_val, er_slice_offset, er_rows,
+                long_col, long_val, long_seg, long_rows):
+    """Per-device SPMD body (runs under shard_map; axis name AXIS)."""
+    R, W, n_dev = sh_meta
+    x_local = x_shard.reshape(-1)  # (R,)
+
+    # Ring halos: left halo = last W rows of the left neighbor, right halo =
+    # first W rows of the right neighbor.  Edge devices receive zeros
+    # (ppermute semantics), matching the zero-padded x convention.
+    left_halo = jax.lax.ppermute(x_local[R - W:], AXIS,
+                                 [(i, (i + 1) % n_dev) for i in range(n_dev - 1)])
+    right_halo = jax.lax.ppermute(x_local[:W], AXIS,
+                                  [(i + 1, i) for i in range(n_dev - 1)])
+    x_ext = jnp.concatenate([left_halo, x_local, right_halo])  # (R + 2W,)
+
+    # Full x for the global-column phases (ER + long rows).
+    x_full = jax.lax.all_gather(x_local, AXIS, tiled=True)  # (D*R,)
+
+    dev = EhybDevice(
+        dim=R, window_rows=W,
+        ell_col=ell_col[0], ell_val=ell_val[0],
+        slice_offset=slice_offset[0], slice_win_start=slice_win_start[0],
+        er_col=er_col[0], er_val=er_val[0],
+        er_slice_offset=er_slice_offset[0], er_rows=er_rows[0],
+        long_col=long_col[0], long_val=long_val[0],
+        long_seg=long_seg[0], long_rows=long_rows[0])
+
+    y_body = ehyb_body_xla(dev, x_ext)       # windows into x_ext
+    y_er = ehyb_er_xla(dev, x_full)          # global columns
+    y_long = ehyb_long_xla(dev, x_full)
+    y = combine_ehyb(dev, y_body, y_er, y_long)  # (R + LANES,)
+    return y[:R].reshape(1, R)
+
+
+def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
+                       dtype: str = "float32"):
+    """Returns (apply_fn, device_arrays): ``apply_fn(arrays, x_global)`` runs
+    the distributed SpMV; ``x_global`` is the reordered x padded to (D, R)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    D, R, W = sh.n_dev, sh.rows_per_dev, sh.window_rows
+    spec_dev = P(AXIS)  # shard leading device axis
+
+    def to_dev(a, cast=False):
+        arr = jnp.asarray(a, dtype=dtype) if cast else jnp.asarray(a)
+        return jax.device_put(arr, NamedSharding(mesh, spec_dev))
+
+    arrays = dict(
+        ell_col=to_dev(sh.ell_col), ell_val=to_dev(sh.ell_val, cast=True),
+        slice_offset=to_dev(sh.slice_offset),
+        slice_win_start=to_dev(sh.slice_win_start),
+        er_col=to_dev(sh.er_col), er_val=to_dev(sh.er_val, cast=True),
+        er_slice_offset=to_dev(sh.er_slice_offset), er_rows=to_dev(sh.er_rows),
+        long_col=to_dev(sh.long_col), long_val=to_dev(sh.long_val, cast=True),
+        long_seg=to_dev(sh.long_seg), long_rows=to_dev(sh.long_rows),
+    )
+    names = list(arrays)
+
+    body = partial(_shard_body, (R, W, D))
+
+    @jax.jit
+    def apply_fn(arrs, x_global):
+        x2 = x_global.reshape(D, R)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(AXIS, None),) + tuple(P(AXIS) for _ in names),
+            out_specs=P(AXIS, None))
+        y2 = f(x2, *[arrs[n] for n in names])
+        return y2.reshape(D * R)
+
+    return apply_fn, arrays
+
+
+class ShardedEhybSpmv(SpmvModel):
+    """Multi-chip EHYB model: global partition+reorder, uniform row sharding,
+    halo'd window body + all-gathered ER tail."""
+
+    name = "ehyb_sharded"
+
+    def __init__(self, config: Optional[EhybConfig] = None,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        super().__init__(config)
+        if mesh is None:
+            devs = np.array(jax.devices())
+            mesh = jax.sharding.Mesh(devs, (AXIS,))
+        self.mesh = mesh
+        self.n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    def setup(self, m: MatrixCOO) -> "ShardedEhybSpmv":
+        self.m = m
+        cfg = self.config
+        dim = m.dimension
+
+        # Plan windows against the *shard span*: a window must fit inside one
+        # device's rows (± one-neighbor halo), so cap W at R and size the
+        # partition count to the capped window.
+        R = round_up(cdiv(dim, self.n_dev), LANES)
+        base_plan = make_plan(dim, cfg)
+        W = min(base_plan.window_rows, R)
+        n_parts = max(self.n_dev, cdiv(dim, W))
+        self.plan = Plan(dim=dim, n_parts=n_parts, window_rows=W,
+                         part_align=LANES, padded_dim=round_up(dim, LANES) + W)
+        if cfg.features.reorder and self.plan.n_parts > 1:
+            labels = partition_rows(m, self.plan.n_parts, cfg.partitioner,
+                                    cfg.partition_imbalance)
+            self.reordering = two_level_reorder(m, labels, self.plan,
+                                                sort_rows=cfg.features.sort_rows)
+        else:
+            bounds = np.minimum(
+                np.arange(self.plan.n_parts + 1) * self.plan.window_rows, dim)
+            bounds[-1] = dim
+            self.reordering = identity_reordering(dim, bounds)
+
+        m_r = self.reordering.apply_to_matrix(m)
+        self.sharded = build_sharded(m_r, self.reordering,
+                                     self.plan.window_rows, self.n_dev, cfg)
+        self._apply_fn, self._arrays = make_sharded_apply(
+            self.sharded, self.mesh, cfg.dtype)
+        log.info("sharded EHYB over %d devices: R=%d W=%d",
+                 self.n_dev, self.sharded.rows_per_dev, self.sharded.window_rows)
+        return self
+
+    def prepare_x(self, x: np.ndarray) -> jax.Array:
+        xr = self.reordering.vector_reorder(np.asarray(x))
+        D, R = self.sharded.n_dev, self.sharded.rows_per_dev
+        xp = np.zeros(D * R, dtype=self.config.dtype)
+        xp[: self.m.n_rows] = xr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(jnp.asarray(xp),
+                              NamedSharding(self.mesh, P(AXIS)))
+
+    def recover_y(self, y: jax.Array) -> np.ndarray:
+        y_np = np.asarray(y, dtype=np.float64)[: self.m.n_rows]
+        return self.reordering.vector_recover(y_np)
+
+    def apply(self, x_dev: jax.Array) -> jax.Array:
+        return self._apply_fn(self._arrays, x_dev)
+
+    @property
+    def apply_jit(self):  # _apply_fn is already jitted
+        return self.apply
