@@ -112,6 +112,10 @@ class EhybConfig:
     min_parts: int = 1
 
     # --- format shape ---
+    #: SELL body packing: 'sell' = plain width-step packing (XLA path);
+    #: 'sell_cs' = chunk-synchronized packing required by the Pallas
+    #: two-stage-gather kernel (see convert._sell_pack_chunk_sync).
+    body_layout: str = "sell"
     slice_rows: int = SLICE_ROWS
     width_align: int = WIDTH_ALIGN
     long_row_threshold: int = DEFAULT_LONG_ROW_THRESHOLD

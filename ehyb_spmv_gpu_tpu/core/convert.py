@@ -54,6 +54,9 @@ def _sell_pack(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     counts = np.bincount(row, minlength=n_slices * slice_rows).astype(np.int64)
     widths = counts.reshape(n_slices, slice_rows).max(axis=1)
     widths = (cdiv_arr(widths, width_align) * width_align).astype(np.int64)
+    # Every slice gets >= one width-step tile so the Pallas tile grid visits
+    # (and initializes) every output block, even all-empty slices.
+    widths = np.maximum(widths, width_align)
     slice_offset = np.zeros(n_slices + 1, dtype=np.int64)
     np.cumsum(widths, out=slice_offset[1:])
     total_steps = int(slice_offset[-1])
@@ -72,6 +75,83 @@ def _sell_pack(row: np.ndarray, col: np.ndarray, val: np.ndarray,
         sl = row_s // slice_rows
         lane = row_s - sl * slice_rows
         step = slice_offset[sl] + rank
+        flat = step * slice_rows + lane
+        col_arr.reshape(-1)[flat] = col_s.astype(col_dtype)
+        val_arr.reshape(-1)[flat] = val_s.astype(val_dtype)
+
+    waste = int(total_steps * slice_rows - row.size)
+    return col_arr, val_arr, slice_offset.astype(np.int32), waste
+
+
+def _sell_pack_chunk_sync(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                          n_rows_padded: int, slice_rows: int, width_align: int,
+                          window_rows: int, col_dtype, val_dtype
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Chunk-synchronized SELL packing — the layout the Pallas two-stage-gather
+    kernel requires.
+
+    TPU ``tpu.dynamic_gather`` composes an arbitrary window gather out of a
+    sublane gather (pick window chunk) followed by a lane gather (pick element
+    within the 128-wide chunk) **only if every lane of a width-step reads from
+    the same window chunk** (``hi = col >> 7`` constant per step).  This packer
+    provides that guarantee: within each slice, entries are grouped by window
+    chunk; per-(slice, chunk) width = max over member rows of that row's count
+    in the chunk.  Padding cells carry ``col = chunk * 128`` so their ``hi``
+    matches the step's chunk (their value is 0, so the gathered element is
+    multiplied away).
+
+    Costs extra padding versus plain SELL (sum-of-chunk-maxes ≥ max-of-sums);
+    the in-partition density sort keeps member rows structurally similar, which
+    keeps the delta small on mesh-like matrices.  Same return convention as
+    :func:`_sell_pack`.
+    """
+    assert window_rows % slice_rows == 0 or window_rows <= slice_rows
+    n_chunks = max(1, cdiv(window_rows, 128))
+    n_slices = max(1, cdiv(n_rows_padded, slice_rows))
+    chunk = (col // 128).astype(np.int64)  # ∈ [0, n_chunks)
+
+    # counts[row, chunk]
+    key = row * n_chunks + chunk
+    counts = np.bincount(key, minlength=n_slices * slice_rows * n_chunks)
+    counts = counts.reshape(n_slices, slice_rows, n_chunks).astype(np.int64)
+    w_sc = counts.max(axis=1)                       # (n_slices, n_chunks)
+    widths = w_sc.sum(axis=1)
+    widths_padded = cdiv_arr(widths, width_align) * width_align
+    widths_padded = np.maximum(widths_padded, width_align)  # no empty slices
+
+    # step offset of chunk c within slice s
+    choff = np.zeros((n_slices, n_chunks + 1), dtype=np.int64)
+    np.cumsum(w_sc, axis=1, out=choff[:, 1:])
+    slice_offset = np.zeros(n_slices + 1, dtype=np.int64)
+    np.cumsum(widths_padded, out=slice_offset[1:])
+    total_steps = int(slice_offset[-1])
+
+    # Paint every cell's column with its step's chunk base so padding cells
+    # satisfy the chunk-sync invariant (hi == step chunk).
+    step_chunk = np.zeros(total_steps, dtype=np.int64)
+    for c in range(n_chunks):  # n_chunks ≤ 8 for the native window
+        starts = slice_offset[:-1] + choff[:, c]
+        ends = slice_offset[:-1] + choff[:, c + 1]
+        mask = np.zeros(total_steps + 1, dtype=np.int64)
+        np.add.at(mask, starts, 1)
+        np.add.at(mask, ends, -1)
+        inside = np.cumsum(mask[:-1]) > 0
+        step_chunk[inside] = c
+    col_arr = np.broadcast_to((step_chunk * 128)[:, None],
+                              (total_steps, slice_rows)).astype(col_dtype).copy()
+    val_arr = np.zeros((total_steps, slice_rows), dtype=val_dtype)
+
+    if row.size:
+        # rank within (row, chunk)
+        order = np.argsort(key, kind="stable")
+        row_s, col_s, val_s, key_s = row[order], col[order], val[order], key[order]
+        key_ptr = np.zeros(counts.size + 1, dtype=np.int64)
+        np.cumsum(counts.reshape(-1), out=key_ptr[1:])
+        rank = np.arange(row_s.size, dtype=np.int64) - key_ptr[key_s]
+        sl = row_s // slice_rows
+        lane = row_s - sl * slice_rows
+        c_s = key_s % n_chunks
+        step = slice_offset[sl] + choff[sl, c_s] + rank
         flat = step * slice_rows + lane
         col_arr.reshape(-1)[flat] = col_s.astype(col_dtype)
         val_arr.reshape(-1)[flat] = val_s.astype(val_dtype)
@@ -135,9 +215,16 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
     # --- 2. SELL body ------------------------------------------------------
     n_rows_padded = round_up(max(dim, 1), C)
     ell_local_col = (col[in_win] - win_start[in_win]).astype(np.int64)
-    ell_col, ell_val, slice_offset, waste_ell = _sell_pack(
-        row[in_win], ell_local_col, val[in_win],
-        n_rows_padded, C, config.width_align, cdt, vdt)
+    if config.body_layout == "sell_cs":
+        ell_col, ell_val, slice_offset, waste_ell = _sell_pack_chunk_sync(
+            row[in_win], ell_local_col, val[in_win],
+            n_rows_padded, C, config.width_align, W, cdt, vdt)
+    elif config.body_layout == "sell":
+        ell_col, ell_val, slice_offset, waste_ell = _sell_pack(
+            row[in_win], ell_local_col, val[in_win],
+            n_rows_padded, C, config.width_align, cdt, vdt)
+    else:
+        raise ValueError(f"unknown body_layout {config.body_layout!r}")
     n_slices = slice_offset.shape[0] - 1
 
     # Window start per slice: interior partition boundaries are aligned to

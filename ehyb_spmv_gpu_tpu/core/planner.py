@@ -82,5 +82,7 @@ def make_plan(dim: int, config: EhybConfig) -> Plan:
         window = min(window, round_up(dim, WINDOW_ALIGN))
 
     padded_dim = round_up(dim, LANES) + window  # slack so windows never clamp
+    # Boundaries align to WINDOW_ALIGN so window starts land on whole x blocks
+    # for the Pallas kernel's BlockSpec (block = WINDOW_ALIGN elements of x).
     return Plan(dim=dim, n_parts=n_parts, window_rows=window,
-                part_align=LANES, padded_dim=padded_dim)
+                part_align=WINDOW_ALIGN, padded_dim=padded_dim)

@@ -106,17 +106,36 @@ class EhybXlaSpmv(SpmvModel):
 
 
 class EhybSpmv(EhybXlaSpmv):
-    """Flagship: EHYB with the fused Pallas SELL-body kernel on TPU."""
+    """Flagship: EHYB with the fused Pallas SELL-body kernel on TPU.
+
+    On TPU (or with ``EHYB_FORCE_PALLAS=interpret`` for CPU testing) the model
+    pins the Pallas-kernel preconditions: 1024-row windows and the
+    chunk-synchronized SELL packing.  On other backends it degrades to the XLA
+    apply with whatever plan the config requests.
+    """
 
     name = "ehyb"
 
+    def _pallas_mode(self) -> str:
+        force = __import__("os").environ.get("EHYB_FORCE_PALLAS", "")
+        if force:
+            return force  # "1" (compiled) or "interpret"
+        return "1" if jax.default_backend() == "tpu" else ""
+
     def setup(self, m: MatrixCOO) -> "EhybSpmv":
+        mode = self._pallas_mode()
+        if mode:
+            from ..config import WINDOW_ALIGN
+
+            self.config = dataclasses.replace(
+                self.config, window_rows=WINDOW_ALIGN, body_layout="sell_cs")
         super().setup(m)
-        self._use_pallas = jax.default_backend() == "tpu"
+        self._use_pallas = bool(mode)
         if self._use_pallas:
             from ..ops.ehyb_pallas import make_ehyb_pallas_apply
 
-            self._pallas_apply = make_ehyb_pallas_apply(self.dev, self.config)
+            self._pallas_apply = make_ehyb_pallas_apply(
+                self.ehyb, self.config, interpret=(mode == "interpret"))
         return self
 
     def apply(self, x_dev: jax.Array) -> jax.Array:

@@ -31,6 +31,7 @@ def coo_spmv(row: jax.Array, col: jax.Array, val: jax.Array, x: jax.Array,
     """y = A·x from COO triples via segment-sum (rows must be sorted for best
     performance; correctness does not require it)."""
     contrib = val * jnp.take(x, col, axis=0)
+    contrib = jax.lax.optimization_barrier(contrib)  # see ehyb_body_xla
     return jax.ops.segment_sum(contrib, row, num_segments=n_rows,
                                indices_are_sorted=True)
 
@@ -69,6 +70,9 @@ def ehyb_body_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
     step_win = jnp.take(e.slice_win_start, step_slice, axis=0)  # (steps,)
     gidx = step_win[:, None].astype(jnp.int32) + e.ell_col.astype(jnp.int32)
     contrib = e.ell_val.astype(x_pad.dtype) * jnp.take(x_pad, gidx, axis=0)
+    # Barrier: the XLA TPU fusion emitter CHECK-fails when this gather fuses
+    # into the segment-sum scatter (fusion_emitter.cc "kSublaneGather").
+    contrib = jax.lax.optimization_barrier(contrib)
     y2 = jax.ops.segment_sum(contrib, step_slice, num_segments=n_slices,
                              indices_are_sorted=True)
     return y2.reshape(-1)  # (n_slices * C,)
@@ -83,6 +87,7 @@ def ehyb_er_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
         return jnp.zeros(0, dtype=x_pad.dtype)
     step_slice = _step_slice_ids(e.er_slice_offset, n_steps)
     contrib = e.er_val.astype(x_pad.dtype) * jnp.take(x_pad, e.er_col, axis=0)
+    contrib = jax.lax.optimization_barrier(contrib)  # see ehyb_body_xla
     y2 = jax.ops.segment_sum(contrib, step_slice, num_segments=n_slices,
                              indices_are_sorted=True)
     return y2.reshape(-1)  # (n_er_slices * C,)
@@ -96,6 +101,7 @@ def ehyb_long_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
     if n_long == 0 or e.long_col.shape[0] == 0:
         return jnp.zeros(0, dtype=x_pad.dtype)
     contrib = e.long_val.astype(x_pad.dtype) * jnp.take(x_pad, e.long_col, axis=0)
+    contrib = jax.lax.optimization_barrier(contrib)  # see ehyb_body_xla
     return jax.ops.segment_sum(contrib, e.long_seg, num_segments=n_long,
                                indices_are_sorted=True)
 

@@ -1,0 +1,107 @@
+"""Pallas SELL-body kernel tests (interpreter mode on CPU) + chunk-sync
+packing invariants."""
+import os
+
+import numpy as np
+import pytest
+
+import ehyb_spmv_gpu_tpu as ehyb
+from ehyb_spmv_gpu_tpu.config import EhybConfig, WINDOW_ALIGN
+from ehyb_spmv_gpu_tpu.core.convert import coo_to_ehyb
+from ehyb_spmv_gpu_tpu.core.coo import deterministic_x, oracle_spmv
+from ehyb_spmv_gpu_tpu.core.planner import make_plan
+from ehyb_spmv_gpu_tpu.core.reorder import two_level_reorder
+from ehyb_spmv_gpu_tpu.io import generate
+from ehyb_spmv_gpu_tpu.partition import partition_rows
+from ehyb_spmv_gpu_tpu.utils.validate import rel_error
+
+
+def build_cs(m, sort_rows=True):
+    cfg = EhybConfig(window_rows=WINDOW_ALIGN, body_layout="sell_cs",
+                     dtype="float64")
+    plan = make_plan(m.dimension, cfg)
+    labels = partition_rows(m, plan.n_parts, "blocks")
+    r = two_level_reorder(m, labels, plan, sort_rows=sort_rows)
+    m_r = r.apply_to_matrix(m)
+    return coo_to_ehyb(m_r, r, plan, cfg), m_r, r, plan
+
+
+def test_chunk_sync_invariant(poisson_mid):
+    """Every width-step's nonpadding AND padding cells share one chunk."""
+    e, m_r, _, _ = build_cs(poisson_mid)
+    hi = np.asarray(e.ell_col) >> 7
+    assert np.all(hi == hi[:, :1]), "hi varies within a width-step"
+
+
+def test_chunk_sync_reconstruction(poisson_mid):
+    from ehyb_spmv_gpu_tpu.core.convert import verify_conversion
+
+    e, m_r, _, _ = build_cs(poisson_mid)
+    verify_conversion(m_r, e)
+
+
+def test_chunk_sync_reconstruction_powerlaw(powerlaw_small):
+    from ehyb_spmv_gpu_tpu.core.convert import verify_conversion
+
+    e, m_r, _, _ = build_cs(powerlaw_small)
+    verify_conversion(m_r, e)
+    hi = np.asarray(e.ell_col) >> 7
+    assert np.all(hi == hi[:, :1])
+
+
+def test_chunk_sync_waste_accounted(scrambled):
+    e, m_r, _, _ = build_cs(scrambled)
+    cells = e.ell_col.shape[0] * e.ell_col.shape[1]
+    assert cells == e.stats["nnz_ell"] + e.stats["waste_ell"]
+
+
+def test_no_empty_slices(poisson_mid):
+    e, _, _, _ = build_cs(poisson_mid)
+    assert np.all(np.diff(e.slice_offset) > 0)
+
+
+def test_tile_maps(poisson_mid):
+    from ehyb_spmv_gpu_tpu.ops.ehyb_pallas import TILE_STEPS, build_tile_maps
+
+    e, _, _, _ = build_cs(poisson_mid)
+    ts, tf, wb = build_tile_maps(e)
+    widths = np.diff(e.slice_offset)
+    assert ts.shape[0] == widths.sum() // TILE_STEPS
+    # first flags: exactly one per slice
+    assert tf.sum() == e.n_slices
+    # tiles of one slice are contiguous and share the window block
+    for s in range(e.n_slices):
+        sel = ts == s
+        assert sel.any()
+        idx = np.flatnonzero(sel)
+        assert np.all(np.diff(idx) == 1)
+        assert np.unique(wb[sel]).size == 1
+
+
+@pytest.mark.parametrize("fixture", ["poisson_mid", "powerlaw_small",
+                                     "scrambled"])
+def test_pallas_interpret_vs_oracle(fixture, request):
+    m = request.getfixturevalue(fixture)
+    os.environ["EHYB_FORCE_PALLAS"] = "interpret"
+    try:
+        model = ehyb.EhybSpmv(EhybConfig()).setup(m)
+        assert model._use_pallas
+        x = deterministic_x(m.dimension)
+        y = model.matvec(x)
+        assert rel_error(y, oracle_spmv(m, x)) < 5e-6
+    finally:
+        del os.environ["EHYB_FORCE_PALLAS"]
+
+
+def test_pallas_interpret_long_rows():
+    m = generate.with_dense_rows(
+        generate.random_general(3000, 8, seed=21), 2, density=0.6, seed=22)
+    os.environ["EHYB_FORCE_PALLAS"] = "interpret"
+    try:
+        cfg = EhybConfig(long_row_threshold=128)
+        model = ehyb.EhybSpmv(cfg).setup(m)
+        assert model.ehyb.n_long >= 1
+        x = deterministic_x(m.dimension)
+        assert rel_error(model.matvec(x), oracle_spmv(m, x)) < 1e-5
+    finally:
+        del os.environ["EHYB_FORCE_PALLAS"]
