@@ -116,6 +116,9 @@ class EhybConfig:
     #: 'sell_cs' = chunk-synchronized packing required by the Pallas
     #: two-stage-gather kernel (see convert._sell_pack_chunk_sync).
     body_layout: str = "sell"
+    #: Multi-window layout: minimum entries a (slice, window) group needs to be
+    #: packed into body tiles; smaller groups spill to the ER tail.
+    min_window_group_nnz: int = 4
     slice_rows: int = SLICE_ROWS
     width_align: int = WIDTH_ALIGN
     long_row_threshold: int = DEFAULT_LONG_ROW_THRESHOLD

@@ -164,6 +164,134 @@ def cdiv_arr(a: np.ndarray, b: int) -> np.ndarray:
     return -(-a // b)
 
 
+#: Width-steps per kernel tile; group widths pad to this (must match
+#: ops.ehyb_pallas.TILE_STEPS).
+_TILE = 8
+#: Native window span in rows (one (8, 128) x block — must match
+#: config.WINDOW_ALIGN for the Pallas BlockSpec granularity).
+_WSPAN = 1024
+
+
+def _sell_pack_multiwindow(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                           n_rows_padded: int, slice_rows: int,
+                           config: EhybConfig, col_dtype, val_dtype):
+    """Multi-window chunk-synchronized SELL packing.
+
+    The key generalization over the partition-window formats: each 8-step tile
+    carries its *own* 1024-row x window (the Pallas kernel's x BlockSpec index
+    is scalar-prefetched per tile, so this is free at run time).  Entries are
+    grouped per (slice, 1024-window); groups with at least
+    ``config.min_window_group_nnz`` entries are packed chunk-synchronized into
+    whole tiles; smaller groups spill to the ER tail.  This is what shrinks
+    the reference's ER fraction (out-of-window entries, ``convert.c:128-134``)
+    to true stragglers: the body no longer requires columns near the diagonal
+    block, only *clustered* columns.
+
+    ``col`` is the full (global) column index.  Returns
+    (col_arr local-in-window, val_arr, slice_offset, step_win, waste, body_mask).
+    """
+    C = slice_rows
+    n_slices = max(1, cdiv(n_rows_padded, C))
+    NW = max(1, cdiv(int(col.max(initial=0)) + 1, _WSPAN))
+
+    sl = row // C
+    lane = row - sl * C
+    wid = col // _WSPAN
+    gkey = sl * NW + wid
+    uniq, ginv, gcount = np.unique(gkey, return_inverse=True,
+                                   return_counts=True)
+    keep = gcount >= max(1, config.min_window_group_nnz)
+    body_mask = keep[ginv]
+
+    K = int(keep.sum())
+    if K == 0:
+        # Degenerate: everything spills to ER; emit one dummy tile per slice.
+        slice_offset = (np.arange(n_slices + 1) * _TILE).astype(np.int32)
+        total = n_slices * _TILE
+        return (np.zeros((total, C), dtype=col_dtype),
+                np.zeros((total, C), dtype=val_dtype),
+                slice_offset, np.zeros(total, dtype=np.int32),
+                total * C, body_mask)
+
+    kmap = np.full(uniq.shape[0], -1, dtype=np.int64)
+    kmap[keep] = np.arange(K)
+    kidx_all = kmap[ginv]            # per-entry compact group id (-1 = ER)
+    g_sl = (uniq[keep] // NW).astype(np.int64)
+    g_w = (uniq[keep] % NW).astype(np.int64)
+
+    b = body_mask
+    kidx = kidx_all[b]
+    lane_b = lane[b]
+    chunk_b = (col[b] % _WSPAN) // 128           # ∈ [0, 8)
+    val_b = val[b]
+    lcol_b = (col[b] % _WSPAN).astype(np.int64)  # window-local column
+
+    # per (group, lane, chunk) counts → per-(group, chunk) widths
+    key2 = (kidx * C + lane_b) * 8 + chunk_b
+    cnt = np.bincount(key2, minlength=K * C * 8).reshape(K, C, 8)
+    w_kc = cnt.max(axis=1).astype(np.int64)      # (K, 8)
+    gw = w_kc.sum(axis=1)
+    gwp = cdiv_arr(gw, _TILE) * _TILE            # whole tiles per group
+
+    # Per-slice widths (empty slices get one dummy tile).
+    widths = np.zeros(n_slices, dtype=np.int64)
+    np.add.at(widths, g_sl, gwp)
+    widths = np.maximum(widths, _TILE)
+    slice_offset = np.zeros(n_slices + 1, dtype=np.int64)
+    np.cumsum(widths, out=slice_offset[1:])
+    total_steps = int(slice_offset[-1])
+
+    # Group start steps: groups are sorted by (slice, window); exclusive
+    # within-slice cumsum of padded widths + the slice base.
+    gcum = np.cumsum(gwp) - gwp
+    first_of_slice = np.zeros(K, dtype=bool)
+    first_of_slice[0] = True
+    first_of_slice[1:] = g_sl[1:] != g_sl[:-1]
+    base = gcum[first_of_slice][np.cumsum(first_of_slice) - 1]
+    grp_step = slice_offset[g_sl] + (gcum - base)
+
+    # chunk offsets within each group
+    choff = np.zeros((K, 9), dtype=np.int64)
+    np.cumsum(w_kc, axis=1, out=choff[:, 1:])
+
+    # Paint per-step window starts and chunk bases.
+    step_win = np.zeros(total_steps, dtype=np.int64)
+    spans = np.repeat(np.arange(K), gwp)
+    pos = np.arange(spans.shape[0]) - np.repeat(np.cumsum(gwp) - gwp, gwp)
+    step_idx = grp_step[spans] + pos
+    step_win[step_idx] = g_w[spans] * _WSPAN
+
+    step_chunk = np.zeros(total_steps, dtype=np.int64)
+    for c in range(8):
+        wc = w_kc[:, c]
+        sel = np.repeat(np.arange(K), wc)            # group of each painted step
+        intra = (np.arange(sel.shape[0], dtype=np.int64)
+                 - np.repeat(np.cumsum(wc) - wc, wc))  # 0..wc-1 within region
+        step_chunk[grp_step[sel] + choff[sel, c] + intra] = c
+
+    col_arr = np.broadcast_to((step_chunk * 128)[:, None],
+                              (total_steps, C)).astype(col_dtype).copy()
+    val_arr = np.zeros((total_steps, C), dtype=val_dtype)
+
+    # Scatter entries: rank within (group, lane, chunk).
+    order = np.argsort(key2, kind="stable")
+    key_s = key2[order]
+    key_ptr = np.zeros(K * C * 8 + 1, dtype=np.int64)
+    np.cumsum(cnt.reshape(-1), out=key_ptr[1:])
+    rank = np.arange(key_s.shape[0], dtype=np.int64) - key_ptr[key_s]
+    kidx_s = kidx[order]
+    lane_s = lane_b[order]
+    chunk_s = chunk_b[order]
+    step = grp_step[kidx_s] + choff[kidx_s, chunk_s] + rank
+    flat = step * C + lane_s
+    col_arr.reshape(-1)[flat] = lcol_b[order].astype(col_dtype)
+    val_arr.reshape(-1)[flat] = val_b[order].astype(val_dtype)
+
+    waste = int(total_steps * C - int(b.sum()))
+    return (col_arr, val_arr, slice_offset.astype(np.int32),
+            step_win.astype(np.int32), waste, body_mask)
+
+
 def coo_to_ehyb(m_reordered: MatrixCOO, reordering: Reordering, plan: Plan,
                 config: EhybConfig) -> EhybMatrix:
     """Convert a *reordered* COO matrix into :class:`EhybMatrix`.
@@ -214,12 +342,26 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
 
     # --- 2. SELL body ------------------------------------------------------
     n_rows_padded = round_up(max(dim, 1), C)
-    ell_local_col = (col[in_win] - win_start[in_win]).astype(np.int64)
-    if config.body_layout == "sell_cs":
+    step_win_mw = None
+    if config.body_layout == "sell_mw":
+        # Multi-window: the packer itself decides body vs ER per
+        # (slice, window) group; re-derive the masks from its decision.
+        (ell_col, ell_val, slice_offset, step_win_mw, waste_ell,
+         body_mask) = _sell_pack_multiwindow(
+            row, col, val, n_rows_padded, C, config, cdt, vdt)
+        er_mask = ~body_mask
+        er_counts = np.bincount(row[er_mask], minlength=dim)
+        long_row_mask_per_row = er_counts > config.long_row_threshold
+        is_long_entry = er_mask & long_row_mask_per_row[row]
+        er_only = er_mask & ~long_row_mask_per_row[row]
+        in_win = body_mask
+    elif config.body_layout == "sell_cs":
+        ell_local_col = (col[in_win] - win_start[in_win]).astype(np.int64)
         ell_col, ell_val, slice_offset, waste_ell = _sell_pack_chunk_sync(
             row[in_win], ell_local_col, val[in_win],
             n_rows_padded, C, config.width_align, W, cdt, vdt)
     elif config.body_layout == "sell":
+        ell_local_col = (col[in_win] - win_start[in_win]).astype(np.int64)
         ell_col, ell_val, slice_offset, waste_ell = _sell_pack(
             row[in_win], ell_local_col, val[in_win],
             n_rows_padded, C, config.width_align, cdt, vdt)
@@ -233,6 +375,11 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
     slice_part = np.searchsorted(boundaries, np.minimum(slice_start_rows, dim - 1),
                                  side="right") - 1
     slice_win_start = boundaries[slice_part].astype(np.int32)
+    if step_win_mw is not None:
+        step_win = step_win_mw
+    else:
+        widths = np.diff(slice_offset.astype(np.int64))
+        step_win = np.repeat(slice_win_start.astype(np.int32), widths)
 
     # --- 3. ER tail --------------------------------------------------------
     er_row = row[er_only]
@@ -307,6 +454,7 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         ell_col=ell_col, ell_val=ell_val,
         slice_offset=slice_offset.astype(np.int32),
         slice_win_start=slice_win_start,
+        step_win=step_win.astype(np.int32),
         er_col=er_col, er_val=er_val,
         er_slice_offset=er_slice_offset.astype(np.int32), er_rows=er_rows,
         long_col=long_col, long_val=long_val, long_seg=long_seg,
@@ -323,8 +471,8 @@ def ehyb_to_dense(e: EhybMatrix) -> np.ndarray:
 
     for s in range(e.n_slices):
         lo, hi = int(e.slice_offset[s]), int(e.slice_offset[s + 1])
-        win = int(e.slice_win_start[s])
         for k in range(lo, hi):
+            win = int(e.step_win[k])
             for lane in range(C):
                 v = float(e.ell_val[k, lane])
                 if v != 0.0:

@@ -52,8 +52,14 @@ class EhybMatrix:
     #: of ``biasVecBlockELL`` ``convert.c:336-340``).
     slice_offset: np.ndarray
     #: (n_slices,) int32 — window start row of each slice's partition (derived
-    #: from ``partBoundary``, ``spmv.h:31``).
+    #: from ``partBoundary``, ``spmv.h:31``).  For the multi-window layout this
+    #: is the window of the slice's FIRST group only; ``step_win`` is
+    #: authoritative.
     slice_win_start: np.ndarray
+    #: (ell_steps,) int32 — x-window start row of every width-step (the
+    #: generalization that lets each 8-step tile pick its own 1024-aligned
+    #: window; constant within a tile by construction).
+    step_win: np.ndarray
 
     # --- ER tail (SELL over global columns, density-sorted rows) ---
     #: (er_steps, 128) global column indices (role of ``colER`` ``spmv.h:53``).
@@ -122,6 +128,7 @@ class EhybMatrix:
             ell_val=cast(self.ell_val),
             slice_offset=jnp.asarray(self.slice_offset),
             slice_win_start=jnp.asarray(self.slice_win_start),
+            step_win=jnp.asarray(self.step_win),
             er_col=jnp.asarray(self.er_col),
             er_val=cast(self.er_val),
             er_slice_offset=jnp.asarray(self.er_slice_offset),
@@ -141,6 +148,7 @@ class EhybMatrix:
             window_rows=self.window_rows, n_parts=self.n_parts,
             ell_col=self.ell_col, ell_val=self.ell_val,
             slice_offset=self.slice_offset, slice_win_start=self.slice_win_start,
+            step_win=self.step_win,
             er_col=self.er_col, er_val=self.er_val,
             er_slice_offset=self.er_slice_offset, er_rows=self.er_rows,
             long_col=self.long_col, long_val=self.long_val,
@@ -155,6 +163,7 @@ class EhybMatrix:
             window_rows=int(z["window_rows"]), n_parts=int(z["n_parts"]),
             ell_col=z["ell_col"], ell_val=z["ell_val"],
             slice_offset=z["slice_offset"], slice_win_start=z["slice_win_start"],
+            step_win=z["step_win"],
             er_col=z["er_col"], er_val=z["er_val"],
             er_slice_offset=z["er_slice_offset"], er_rows=z["er_rows"],
             long_col=z["long_col"], long_val=z["long_val"],
@@ -174,6 +183,7 @@ class EhybDevice:
     ell_val: Any
     slice_offset: Any
     slice_win_start: Any
+    step_win: Any
     er_col: Any
     er_val: Any
     er_slice_offset: Any
@@ -184,6 +194,7 @@ class EhybDevice:
     long_rows: Any
 
     _ARRAY_FIELDS = ("ell_col", "ell_val", "slice_offset", "slice_win_start",
+                     "step_win",
                      "er_col", "er_val", "er_slice_offset", "er_rows",
                      "long_col", "long_val", "long_seg", "long_rows")
 

@@ -73,16 +73,19 @@ class SpmvModel(abc.ABC):
         (``spmv.cu:110-116``, which relaunches the same y = A·x every iteration).
         """
         return self._iterate_jit(x_dev, jnp.asarray(eps, dtype=x_dev.dtype),
-                                 n_iters)
+                                 jnp.asarray(n_iters, dtype=jnp.int32))
 
-    @partial(jax.jit, static_argnums=(0, 3))
+    @partial(jax.jit, static_argnums=(0,))
     def _iterate_jit(self, x_dev, eps, n_iters):
+        # n_iters is a *traced* scalar: one compile serves every iteration
+        # count (fori_loop lowers to a while loop) — important because remote
+        # TPU compiles of the full apply graph are expensive.
         y0 = self.apply(x_dev)
 
         def body(_, y):
             return self.apply(x_dev + eps * _resize_like(y, x_dev))
 
-        return jax.lax.fori_loop(0, n_iters - 1, body, y0) if n_iters > 1 else y0
+        return jax.lax.fori_loop(0, n_iters - 1, body, y0)
 
     # -- metadata -----------------------------------------------------------
     @property

@@ -127,8 +127,13 @@ class EhybSpmv(EhybXlaSpmv):
         if mode:
             from ..config import WINDOW_ALIGN
 
+            # Multi-window layout: per-tile window selection subsumes the
+            # partition-window constraint; window_rows stays at the native
+            # 1024-span for planner/reorder purposes.
+            layout = self.config.body_layout \
+                if self.config.body_layout == "sell_cs" else "sell_mw"
             self.config = dataclasses.replace(
-                self.config, window_rows=WINDOW_ALIGN, body_layout="sell_cs")
+                self.config, window_rows=WINDOW_ALIGN, body_layout=layout)
         super().setup(m)
         self._use_pallas = bool(mode)
         if self._use_pallas:

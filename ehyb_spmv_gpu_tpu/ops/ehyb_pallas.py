@@ -84,9 +84,12 @@ def build_tile_maps(e: EhybMatrix):
         raise ValueError("Pallas path requires no empty slices")
     if not np.all(widths % TILE_STEPS == 0):
         raise ValueError(f"slice widths must be multiples of {TILE_STEPS}")
-    win = e.slice_win_start.astype(np.int64)
-    if not np.all(win % WINDOW_ALIGN == 0):
+    step_win = e.step_win.astype(np.int64)
+    if not np.all(step_win % WINDOW_ALIGN == 0):
         raise ValueError("window starts must be WINDOW_ALIGN-aligned")
+    sw = step_win.reshape(-1, TILE_STEPS)
+    if not np.all(sw == sw[:, :1]):
+        raise ValueError("window must be constant within each tile")
 
     tiles_per_slice = widths // TILE_STEPS
     n_slices = widths.shape[0]
@@ -95,8 +98,7 @@ def build_tile_maps(e: EhybMatrix):
     first_pos = np.zeros(int(tiles_per_slice.sum()), dtype=np.int32)
     first_pos[np.cumsum(tiles_per_slice)[:-1]] = 1
     first_pos[0] = 1
-    win_block = np.repeat((win // WINDOW_ALIGN).astype(np.int32),
-                          tiles_per_slice)
+    win_block = (sw[:, 0] // WINDOW_ALIGN).astype(np.int32)
     return tile_slice, first_pos, win_block
 
 

@@ -67,8 +67,7 @@ def ehyb_body_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
     if n_steps == 0:
         return jnp.zeros(n_slices * C, dtype=x_pad.dtype)
     step_slice = _step_slice_ids(e.slice_offset, n_steps)
-    step_win = jnp.take(e.slice_win_start, step_slice, axis=0)  # (steps,)
-    gidx = step_win[:, None].astype(jnp.int32) + e.ell_col.astype(jnp.int32)
+    gidx = e.step_win[:, None].astype(jnp.int32) + e.ell_col.astype(jnp.int32)
     contrib = e.ell_val.astype(x_pad.dtype) * jnp.take(x_pad, gidx, axis=0)
     # Barrier: the XLA TPU fusion emitter CHECK-fails when this gather fuses
     # into the segment-sum scatter (fusion_emitter.cc "kSublaneGather").

@@ -70,6 +70,7 @@ class ShardedEhyb:
     ell_val: np.ndarray
     slice_offset: np.ndarray     # (D, R/C + 1)
     slice_win_start: np.ndarray  # (D, R/C)  — offsets into the EXTENDED x
+    step_win: np.ndarray         # (D, steps) — per-step window starts (ext x)
     er_col: np.ndarray           # (D, er_steps, C) — GLOBAL columns
     er_val: np.ndarray
     er_slice_offset: np.ndarray  # (D, n_er_slices + 1)
@@ -116,6 +117,7 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
                          config=config)
         # Window starts into the extended x [halo_W | local_R | halo_W].
         e.slice_win_start = (e.slice_win_start.astype(np.int64) + W).astype(np.int32)
+        e.step_win = (e.step_win.astype(np.int64) + W).astype(np.int32)
         # ER/long columns back to global coordinates (padding cells have
         # val == 0, so the shifted padding gather is harmless).
         e.er_col = (e.er_col.astype(np.int64) + b0).astype(np.int32)
@@ -146,6 +148,7 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         slice_offset=stack(lambda s: pad_offsets(s.slice_offset,
                                                  s.n_slices, steps)),
         slice_win_start=stack(lambda s: s.slice_win_start),
+        step_win=stack(lambda s: _pad_rows(s.step_win, steps, fill=0)),
         er_col=stack(lambda s: _pad_rows(s.er_col, er_steps)),
         er_val=stack(lambda s: _pad_rows(s.er_val, er_steps)),
         er_slice_offset=stack(lambda s: pad_offsets(s.er_slice_offset,
@@ -162,8 +165,8 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
 
 
 def _shard_body(sh_meta, x_shard, ell_col, ell_val, slice_offset,
-                slice_win_start, er_col, er_val, er_slice_offset, er_rows,
-                long_col, long_val, long_seg, long_rows):
+                slice_win_start, step_win, er_col, er_val, er_slice_offset,
+                er_rows, long_col, long_val, long_seg, long_rows):
     """Per-device SPMD body (runs under shard_map; axis name AXIS)."""
     R, W, n_dev = sh_meta
     x_local = x_shard.reshape(-1)  # (R,)
@@ -184,6 +187,7 @@ def _shard_body(sh_meta, x_shard, ell_col, ell_val, slice_offset,
         dim=R, window_rows=W,
         ell_col=ell_col[0], ell_val=ell_val[0],
         slice_offset=slice_offset[0], slice_win_start=slice_win_start[0],
+        step_win=step_win[0],
         er_col=er_col[0], er_val=er_val[0],
         er_slice_offset=er_slice_offset[0], er_rows=er_rows[0],
         long_col=long_col[0], long_val=long_val[0],
@@ -213,6 +217,7 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
         ell_col=to_dev(sh.ell_col), ell_val=to_dev(sh.ell_val, cast=True),
         slice_offset=to_dev(sh.slice_offset),
         slice_win_start=to_dev(sh.slice_win_start),
+        step_win=to_dev(sh.step_win),
         er_col=to_dev(sh.er_col), er_val=to_dev(sh.er_val, cast=True),
         er_slice_offset=to_dev(sh.er_slice_offset), er_rows=to_dev(sh.er_rows),
         long_col=to_dev(sh.long_col), long_val=to_dev(sh.long_val, cast=True),

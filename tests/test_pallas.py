@@ -98,10 +98,84 @@ def test_pallas_interpret_long_rows():
         generate.random_general(3000, 8, seed=21), 2, density=0.6, seed=22)
     os.environ["EHYB_FORCE_PALLAS"] = "interpret"
     try:
-        cfg = EhybConfig(long_row_threshold=128)
+        # sell_cs (partition windows): dense rows overflow to ER and trip the
+        # long-row extraction; under sell_mw their entries form large window
+        # groups and stay in the body, so the long path would not trigger.
+        cfg = EhybConfig(long_row_threshold=128, body_layout="sell_cs")
         model = ehyb.EhybSpmv(cfg).setup(m)
         assert model.ehyb.n_long >= 1
         x = deterministic_x(m.dimension)
         assert rel_error(model.matvec(x), oracle_spmv(m, x)) < 1e-5
+    finally:
+        del os.environ["EHYB_FORCE_PALLAS"]
+
+
+# --- multi-window layout ------------------------------------------------
+
+def build_mw(m, min_nnz=4):
+    from ehyb_spmv_gpu_tpu.core.convert import verify_conversion
+
+    cfg = EhybConfig(window_rows=WINDOW_ALIGN, body_layout="sell_mw",
+                     dtype="float64", min_window_group_nnz=min_nnz)
+    plan = make_plan(m.dimension, cfg)
+    labels = partition_rows(m, plan.n_parts, "blocks")
+    r = two_level_reorder(m, labels, plan)
+    m_r = r.apply_to_matrix(m)
+    return coo_to_ehyb(m_r, r, plan, cfg), m_r
+
+
+@pytest.mark.parametrize("fixture", ["poisson_mid", "powerlaw_small",
+                                     "scrambled", "fem_small"])
+def test_mw_reconstruction(fixture, request):
+    from ehyb_spmv_gpu_tpu.core.convert import verify_conversion
+
+    m = request.getfixturevalue(fixture)
+    e, m_r = build_mw(m)
+    verify_conversion(m_r, e)
+
+
+def test_mw_chunk_sync_invariant(fem_small):
+    e, _ = build_mw(fem_small)
+    hi = np.asarray(e.ell_col) >> 7
+    assert np.all(hi == hi[:, :1])
+
+
+def test_mw_tile_window_constant(fem_small):
+    from ehyb_spmv_gpu_tpu.ops.ehyb_pallas import TILE_STEPS
+
+    e, _ = build_mw(fem_small)
+    sw = e.step_win.reshape(-1, TILE_STEPS)
+    assert np.all(sw == sw[:, :1])
+    assert np.all(e.step_win % WINDOW_ALIGN == 0)
+
+
+def test_mw_reduces_er_vs_windowed(fem_small):
+    # the whole point: multi-window body should capture entries the
+    # partition-window format sends to ER
+    e_mw, _ = build_mw(fem_small)
+    cfg = EhybConfig(window_rows=WINDOW_ALIGN, body_layout="sell_cs",
+                     dtype="float64")
+    plan = make_plan(fem_small.dimension, cfg)
+    labels = partition_rows(fem_small, plan.n_parts, "blocks")
+    r = two_level_reorder(fem_small, labels, plan)
+    e_cs = coo_to_ehyb(r.apply_to_matrix(fem_small), r, plan, cfg)
+    assert e_mw.stats["nnz_er"] <= e_cs.stats["nnz_er"]
+
+
+def test_mw_min_nnz_1_empties_er(poisson_mid):
+    e, _ = build_mw(poisson_mid, min_nnz=1)
+    assert e.stats["nnz_er"] == 0
+
+
+@pytest.mark.parametrize("fixture", ["poisson_mid", "fem_small", "scrambled"])
+def test_mw_pallas_interpret_vs_oracle(fixture, request):
+    m = request.getfixturevalue(fixture)
+    os.environ["EHYB_FORCE_PALLAS"] = "interpret"
+    try:
+        model = ehyb.EhybSpmv(EhybConfig()).setup(m)
+        assert model.config.body_layout == "sell_mw"
+        x = deterministic_x(m.dimension)
+        y = model.matvec(x)
+        assert rel_error(y, oracle_spmv(m, x)) < 5e-6
     finally:
         del os.environ["EHYB_FORCE_PALLAS"]
