@@ -31,6 +31,11 @@ def main() -> int:
     os.environ.setdefault("EHYB_LOG", "INFO")
     import jax
 
+    # Remote TPU compiles cost minutes; persist compiled executables.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/ehyb_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     import ehyb_spmv_gpu_tpu as ehyb
     from ehyb_spmv_gpu_tpu.config import EhybConfig
     from ehyb_spmv_gpu_tpu.core.coo import deterministic_x, oracle_spmv

@@ -78,7 +78,10 @@ class Features:
     reorder: bool = True   # RODR: METIS partition + two-level row reorder.
     cache: bool = True     # CACHE: window x caching in VMEM (EHYB vs plain HYB).
     block: bool = True     # BLOCK: blocked/SELL ELL body (vs plain CSR).
-    sort_rows: bool = True  # in-partition density sort (reordering.c:18-39).
+    sort_rows: bool = True  # in-partition sort (reordering.c:18-39).
+    #: "density" (reference behavior) or "pattern" (column-structure grouping,
+    #: best for the multi-window layout — see core/reorder.py).
+    sort_mode: str = "density"
 
 
 # ---------------------------------------------------------------------------

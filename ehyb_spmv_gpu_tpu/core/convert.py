@@ -233,10 +233,12 @@ def _sell_pack_multiwindow(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     gw = w_kc.sum(axis=1)
     gwp = cdiv_arr(gw, _TILE) * _TILE            # whole tiles per group
 
-    # Per-slice widths (empty slices get one dummy tile).
+    # Per-slice widths, aligned to the kernel tile size (empty slices get one
+    # dummy tile; tail padding steps carry window 0 / col 0 / val 0).
+    walign = max(_TILE, config.width_align)
     widths = np.zeros(n_slices, dtype=np.int64)
     np.add.at(widths, g_sl, gwp)
-    widths = np.maximum(widths, _TILE)
+    widths = np.maximum(cdiv_arr(widths, walign) * walign, walign)
     slice_offset = np.zeros(n_slices + 1, dtype=np.int64)
     np.cumsum(widths, out=slice_offset[1:])
     total_steps = int(slice_offset[-1])

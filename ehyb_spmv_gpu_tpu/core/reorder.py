@@ -95,12 +95,22 @@ def in_window_counts(row: np.ndarray, col: np.ndarray, boundaries: np.ndarray,
 
 
 def two_level_reorder(m: MatrixCOO, labels: np.ndarray, plan: Plan,
-                      sort_rows: bool = True) -> Reordering:
+                      sort_rows: bool = True,
+                      sort_mode: str = "density") -> Reordering:
     """Build the two-level permutation from partition labels.
 
     ``labels[old_row] = partition id`` (what ``MTMETIS_PartGraphKway`` returns,
     ``reordering.c:280-293``).  Returns a :class:`Reordering` with aligned
-    boundaries; if ``sort_rows`` the in-partition density sort is applied.
+    boundaries; if ``sort_rows`` the in-partition sort is applied.
+
+    ``sort_mode``:
+      * ``"density"`` — descending in-window nnz (the reference's sort,
+        ``reordering.c:18-39``): uniform SELL slice widths;
+      * ``"pattern"`` — by quantized minimum column, then density: groups rows
+        with *similar column structure* into the same 128-row slice, which is
+        what minimizes the multi-window layout's per-(slice, window, chunk)
+        padding (a graph partition selects spatially-close but
+        interleaved-ordered rows; this re-linearizes them).
     """
     dim = m.dimension
     labels = np.asarray(labels)
@@ -119,15 +129,24 @@ def two_level_reorder(m: MatrixCOO, labels: np.ndarray, plan: Plan,
     old_to_new[new_to_old] = np.arange(dim, dtype=np.int64)
 
     if sort_rows:
-        # Level 2: density sort within each partition by in-window nnz
-        # (reordering.c:327-334).  Counts are computed in the level-1 ordering.
+        # Level 2: in-partition sort.  Counts/keys are computed in the level-1
+        # ordering (cf. reordering.c:327-334).
         row1 = old_to_new[m.row]
         col1 = old_to_new[m.col]
         counts = in_window_counts(row1, col1, boundaries, plan.window_rows, dim)
         part_of_new = np.searchsorted(boundaries, np.arange(dim), side="right") - 1
-        # Stable sort key: (partition, -count).  np.lexsort is stable, so ties
-        # keep first-come order like the reference's qsort tie handling.
-        order = np.lexsort((-counts, part_of_new))
+        if sort_mode == "pattern":
+            min_col = np.full(dim, dim, dtype=np.int64)
+            np.minimum.at(min_col, row1, col1)
+            # lexsort: last key is primary → (part, min_col//1024, min_col//128,
+            # -count); stable, so ties keep first-come order.
+            order = np.lexsort((-counts, min_col // 128, min_col // 1024,
+                                part_of_new))
+        elif sort_mode == "density":
+            # Stable sort key: (partition, -count), like the reference's qsort.
+            order = np.lexsort((-counts, part_of_new))
+        else:
+            raise ValueError(f"unknown sort_mode {sort_mode!r}")
         # order maps: position-in-sorted -> level-1 row.  Compose permutations.
         new_to_old = new_to_old[order]
         old_to_new = np.empty(dim, dtype=np.int64)

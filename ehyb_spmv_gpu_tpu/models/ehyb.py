@@ -68,7 +68,8 @@ class EhybXlaSpmv(SpmvModel):
             labels = partition_rows(m, self.plan.n_parts, cfg.partitioner,
                                     cfg.partition_imbalance)
             self.reordering: Reordering = two_level_reorder(
-                m, labels, self.plan, sort_rows=cfg.features.sort_rows)
+                m, labels, self.plan, sort_rows=cfg.features.sort_rows,
+                sort_mode=cfg.features.sort_mode)
         else:
             bounds = np.arange(self.plan.n_parts + 1) * self.plan.window_rows
             bounds = np.minimum(bounds, dim)
@@ -132,8 +133,15 @@ class EhybSpmv(EhybXlaSpmv):
             # 1024-span for planner/reorder purposes.
             layout = self.config.body_layout \
                 if self.config.body_layout == "sell_cs" else "sell_mw"
+            feats = self.config.features
+            if layout == "sell_mw" and feats.sort_mode == "density":
+                feats = dataclasses.replace(feats, sort_mode="pattern")
+            from ..ops.ehyb_pallas import SUBTILES, TILE_STEPS
+
             self.config = dataclasses.replace(
-                self.config, window_rows=WINDOW_ALIGN, body_layout=layout)
+                self.config, window_rows=WINDOW_ALIGN, body_layout=layout,
+                width_align=SUBTILES * TILE_STEPS,
+                features=feats)
         super().setup(m)
         self._use_pallas = bool(mode)
         if self._use_pallas:

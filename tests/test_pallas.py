@@ -64,7 +64,7 @@ def test_tile_maps(poisson_mid):
     from ehyb_spmv_gpu_tpu.ops.ehyb_pallas import TILE_STEPS, build_tile_maps
 
     e, _, _, _ = build_cs(poisson_mid)
-    ts, tf, wb = build_tile_maps(e)
+    ts, tf, wb = build_tile_maps(e, TILE_STEPS)
     widths = np.diff(e.slice_offset)
     assert ts.shape[0] == widths.sum() // TILE_STEPS
     # first flags: exactly one per slice
