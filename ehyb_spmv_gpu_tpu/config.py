@@ -122,6 +122,10 @@ class EhybConfig:
     #: Multi-window layout: minimum entries a (slice, window) group needs to be
     #: packed into body tiles; smaller groups spill to the ER tail.
     min_window_group_nnz: int = 4
+    #: Row-ordering strategy for the multi-window layout: 'auto' | 'natural' |
+    #: 'rcm' | 'partition' (see core/ordering.py).  Windowed layouts always use
+    #: 'partition' (the reference pipeline).
+    ordering: str = "auto"
     slice_rows: int = SLICE_ROWS
     width_align: int = WIDTH_ALIGN
     long_row_threshold: int = DEFAULT_LONG_ROW_THRESHOLD

@@ -1,0 +1,164 @@
+"""Row-ordering strategies + the ordering auto-selector.
+
+The reference has exactly one ordering strategy: METIS partition grouping +
+in-partition density sort (``reordering.c:231-378``), because its kernel cost
+model is fixed (shared-memory windows + warp work-stealing).  The TPU
+multi-window SELL body has a *measurable* host-side cost function — the total
+number of packed width-steps (= streamed bytes) — so the framework treats
+ordering as a planned choice:
+
+  * ``natural``   — identity (optimal for matrices generated/stored banded);
+  * ``rcm``       — reverse Cuthill-McKee (pseudo-RCM: level-set BFS with
+    degree-sorted levels), the classic bandwidth-minimizing ordering;
+  * ``partition`` — the reference's graph-partition grouping + in-partition
+    sort (best for matrices with cluster structure but no band);
+  * ``auto``      — estimate the packed-step count for each candidate with
+    :func:`estimate_mw_steps` and keep the cheapest.
+
+All orderings return a :class:`~.reorder.Reordering` so downstream conversion
+and the x/y permutations are uniform.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import EhybConfig, cdiv, round_up
+from ..core.coo import MatrixCOO
+from ..core.planner import Plan
+from ..core.reorder import Reordering, identity_reordering, two_level_reorder
+from ..utils.log import get_logger
+
+log = get_logger(__name__)
+
+_WSPAN = 1024
+_TILE = 8
+
+
+def rcm_order(m: MatrixCOO) -> np.ndarray:
+    """Pseudo-RCM: BFS level sets from a min-degree seed, each level sorted by
+    degree, order reversed.  Returns ``new_to_old``.  Vectorized per level."""
+    from ..partition import adjacency_csr
+
+    xadj, adjncy = adjacency_csr(m)
+    dim = m.dimension
+    deg = np.diff(xadj)
+    visited = np.zeros(dim, dtype=bool)
+    order = np.empty(dim, dtype=np.int64)
+    pos = 0
+
+    deg_order = np.argsort(deg, kind="stable")  # seeds by ascending degree
+    seed_ptr = 0
+    while pos < dim:
+        while seed_ptr < dim and visited[deg_order[seed_ptr]]:
+            seed_ptr += 1
+        if seed_ptr >= dim:
+            rest = np.flatnonzero(~visited)
+            order[pos:pos + rest.size] = rest
+            pos += rest.size
+            break
+        frontier = np.array([deg_order[seed_ptr]], dtype=np.int64)
+        visited[frontier] = True
+        while frontier.size:
+            order[pos:pos + frontier.size] = frontier
+            pos += frontier.size
+            counts = (xadj[frontier + 1] - xadj[frontier]).astype(np.int64)
+            if counts.sum() == 0:
+                break
+            flat = (np.repeat(xadj[frontier].astype(np.int64), counts)
+                    + np.arange(int(counts.sum()))
+                    - np.repeat(np.cumsum(counts) - counts, counts))
+            nbrs = adjncy[flat].astype(np.int64)
+            nbrs = np.unique(nbrs)
+            nbrs = nbrs[~visited[nbrs]]
+            if nbrs.size == 0:
+                break
+            visited[nbrs] = True
+            frontier = nbrs[np.argsort(deg[nbrs], kind="stable")]
+    return order[::-1].copy()  # the "reverse" in RCM
+
+
+def reordering_from_order(new_to_old: np.ndarray, dim: int,
+                          chunk: int = _WSPAN) -> Reordering:
+    """Wrap a bare permutation as a Reordering with uniform chunk boundaries
+    (the multi-window body ignores partition windows; uniform boundaries keep
+    the windowed layouts and stats well-defined)."""
+    old_to_new = np.empty(dim, dtype=np.int64)
+    old_to_new[new_to_old] = np.arange(dim, dtype=np.int64)
+    bounds = np.arange(0, dim + chunk, chunk, dtype=np.int64)
+    bounds = np.unique(np.minimum(bounds, dim))
+    return Reordering(new_to_old=np.asarray(new_to_old, dtype=np.int64),
+                      old_to_new=old_to_new, boundaries=bounds)
+
+
+def estimate_mw_steps(row_new: np.ndarray, col_new: np.ndarray, dim: int,
+                      slice_rows: int = 128, min_group_nnz: int = 4) -> int:
+    """Packed width-steps the multi-window layout would need under a given
+    ordering (rows/cols already permuted) — the body's streamed-bytes proxy.
+
+    Counting only (no scatter): Σ over kept (slice, window) groups of
+    Σ_c max_lane count, tile-padded; rejected-group entries charged at one
+    step per 128 (they would stream through the ER tail).
+    """
+    C = slice_rows
+    NW = max(1, cdiv(dim, _WSPAN))
+    sl = row_new // C
+    wid = col_new // _WSPAN
+    gkey = sl * NW + wid
+    uniq, ginv, gcount = np.unique(gkey, return_inverse=True,
+                                   return_counts=True)
+    keep = gcount >= min_group_nnz
+    body = keep[ginv]
+    K = int(keep.sum())
+    er_steps = cdiv(int((~body).sum()), C)
+    if K == 0:
+        return er_steps
+    kmap = np.full(uniq.shape[0], -1, dtype=np.int64)
+    kmap[keep] = np.arange(K)
+    kidx = kmap[ginv][body]
+    lane = (row_new % C)[body]
+    ch = ((col_new % _WSPAN) // 128)[body]
+    cnt = np.bincount((kidx * C + lane) * 8 + ch, minlength=K * C * 8)
+    w_kc = cnt.reshape(K, C, 8).max(axis=1)
+    gw = w_kc.sum(axis=1)
+    gwp = (-(-gw // _TILE)) * _TILE
+    return int(gwp.sum()) + er_steps
+
+
+def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
+                  mode: str = "auto") -> Reordering:
+    """Return the Reordering for the requested (or estimated-best) strategy."""
+    from ..partition import partition_rows
+
+    dim = m.dimension
+
+    def natural():
+        return reordering_from_order(np.arange(dim, dtype=np.int64), dim)
+
+    def rcm():
+        return reordering_from_order(rcm_order(m), dim)
+
+    def partition():
+        labels = partition_rows(m, plan.n_parts, config.partitioner,
+                                config.partition_imbalance)
+        return two_level_reorder(m, labels, plan, sort_rows=True,
+                                 sort_mode="pattern")
+
+    candidates = {"natural": natural, "rcm": rcm, "partition": partition}
+    if mode in candidates:
+        return candidates[mode]()
+    if mode != "auto":
+        raise ValueError(f"unknown ordering {mode!r}")
+
+    best_name, best_r, best_cost = None, None, None
+    for name, fn in candidates.items():
+        r = fn()
+        cost = estimate_mw_steps(r.old_to_new[m.row], r.old_to_new[m.col],
+                                 dim, config.slice_rows,
+                                 config.min_window_group_nnz)
+        log.info("ordering %s: estimated %d packed steps", name, cost)
+        if best_cost is None or cost < best_cost:
+            best_name, best_r, best_cost = name, r, cost
+    log.info("ordering auto → %s (%d steps)", best_name, best_cost)
+    return best_r

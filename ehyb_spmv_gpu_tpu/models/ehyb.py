@@ -64,10 +64,15 @@ class EhybXlaSpmv(SpmvModel):
                 self.ehyb, self.reordering = hit
                 self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
                 return self
-        if cfg.features.reorder and self.plan.n_parts > 1:
+        if cfg.body_layout == "sell_mw" and cfg.features.reorder:
+            from ..core.ordering import pick_ordering
+
+            self.reordering: Reordering = pick_ordering(
+                m, self.plan, cfg, cfg.ordering)
+        elif cfg.features.reorder and self.plan.n_parts > 1:
             labels = partition_rows(m, self.plan.n_parts, cfg.partitioner,
                                     cfg.partition_imbalance)
-            self.reordering: Reordering = two_level_reorder(
+            self.reordering = two_level_reorder(
                 m, labels, self.plan, sort_rows=cfg.features.sort_rows,
                 sort_mode=cfg.features.sort_mode)
         else:

@@ -77,10 +77,11 @@ def _sell_body_kernel_resident(win_row_ref, tile_slice_ref, tile_first_ref,
         g = jnp.take_along_axis(rows, lo, axis=1)      # lane dynamic_gather
         val = val_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :]
         acc = acc + val * g
-    # Branchless accumulate: first tile of a slice overwrites (mask 0), later
-    # tiles accumulate (mask 1) — cheaper than predicated blocks on TPU.
-    keep = (1 - tile_first_ref[t]).astype(y_ref.dtype)
-    y_ref[:] = y_ref[:] * keep + acc[None]
+    # Branchless accumulate: the first tile of a slice must NOT read the
+    # uninitialized output block arithmetically (garbage * 0 can be NaN), so
+    # select — where() never propagates the unselected NaN.
+    prev = jnp.where(tile_first_ref[t] == 0, y_ref[0], 0.0)
+    y_ref[:] = (prev + acc)[None]
 
 
 def _sell_body_kernel_windowed(tile_slice_ref, tile_first_ref, win_block_ref,

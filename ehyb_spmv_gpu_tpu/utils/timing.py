@@ -79,13 +79,26 @@ def spmv_bytes_model(stats: dict, value_bytes: int = 4,
 def bench_apply(name: str, apply_iters: Callable[[int], jax.Array], nnz: int,
                 iters: int = 2000, warmup: int = 10,
                 bytes_model: Optional[int] = None) -> BenchResult:
-    """Time ``apply_iters(n)`` (a function running n chained SpMVs on-device and
-    returning a device array).  Protocol mirrors ``spmv.cu:100-119``: warm-up,
-    then one timed region bounded by ``block_until_ready``."""
+    """Time ``apply_iters(n)`` (a function running n chained SpMVs in a
+    device-side loop and returning a device array).
+
+    Protocol mirrors ``spmv.cu:100-119`` (warm-up, then a timed region bounded
+    by ``block_until_ready``) with one amendment: the fixed dispatch cost is
+    measured with a half-length run and subtracted, because on remote-attached
+    TPUs the per-dispatch latency is material.  Host dispatch loops are NOT
+    used at all — repeated identical dispatches can be elided by the runtime
+    (see utils/timing.py history), so each measurement is one device-side
+    ``fori_loop``.
+    """
     jax.block_until_ready(apply_iters(warmup))
+    half = max(iters // 2, 1)
     t0 = time.perf_counter()
-    jax.block_until_ready(apply_iters(iters))
-    dt = time.perf_counter() - t0
+    jax.block_until_ready(apply_iters(half))
+    t_half = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(apply_iters(half + iters))
+    t_full = time.perf_counter() - t0
+    dt = max(t_full - t_half, 1e-9)  # time of exactly `iters` device iterations
 
     gflops = 1e-9 * (2.0 * nnz) * iters / dt
     nnz_rate = nnz * iters / dt

@@ -111,3 +111,52 @@ def test_edge_cut_blocks_vs_scrambled(scrambled):
     cut_banded = edge_cut(m_banded, labels)
     cut_scrambled = edge_cut(scrambled, partition_blocks(scrambled.dimension, 8))
     assert cut_banded < cut_scrambled / 5
+
+
+# --- ordering strategies (core/ordering.py) --------------------------------
+
+def test_rcm_reduces_bandwidth(scrambled):
+    from ehyb_spmv_gpu_tpu.core.ordering import rcm_order, reordering_from_order
+
+    m = scrambled
+    order = rcm_order(m)
+    assert np.array_equal(np.sort(order), np.arange(m.dimension))
+    r = reordering_from_order(order, m.dimension)
+    m_r = r.apply_to_matrix(m)
+    bw_before = np.abs(m.row - m.col).max()
+    bw_after = np.abs(m_r.row - m_r.col).max()
+    assert bw_after < bw_before / 4
+
+
+def test_rcm_roundtrip(scrambled):
+    from ehyb_spmv_gpu_tpu.core.ordering import rcm_order, reordering_from_order
+    from ehyb_spmv_gpu_tpu.core.coo import deterministic_x, oracle_spmv
+
+    r = reordering_from_order(rcm_order(scrambled), scrambled.dimension)
+    x = deterministic_x(scrambled.dimension)
+    y_r = oracle_spmv(r.apply_to_matrix(scrambled), r.vector_reorder(x))
+    np.testing.assert_allclose(r.vector_recover(y_r),
+                               oracle_spmv(scrambled, x), rtol=1e-12)
+
+
+def test_estimator_prefers_banded(scrambled):
+    from ehyb_spmv_gpu_tpu.core.ordering import (estimate_mw_steps, rcm_order,
+                                                 reordering_from_order)
+
+    m = scrambled
+    cost_scrambled = estimate_mw_steps(m.row, m.col, m.dimension)
+    r = reordering_from_order(rcm_order(m), m.dimension)
+    m_r = r.apply_to_matrix(m)
+    cost_rcm = estimate_mw_steps(m_r.row, m_r.col, m.dimension)
+    assert cost_rcm < cost_scrambled
+
+
+def test_pick_ordering_auto(scrambled):
+    from ehyb_spmv_gpu_tpu.core.ordering import pick_ordering
+    from ehyb_spmv_gpu_tpu.config import EhybConfig
+    from ehyb_spmv_gpu_tpu.core.planner import make_plan
+
+    cfg = EhybConfig(window_rows=1024, body_layout="sell_mw")
+    plan = make_plan(scrambled.dimension, cfg)
+    r = pick_ordering(scrambled, plan, cfg, "auto")
+    assert np.array_equal(np.sort(r.new_to_old), np.arange(scrambled.dimension))
