@@ -79,6 +79,14 @@ class Features:
     cache: bool = True     # CACHE: window x caching in VMEM (EHYB vs plain HYB).
     block: bool = True     # BLOCK: blocked/SELL ELL body (vs plain CSR).
     sort_rows: bool = True  # in-partition sort (reordering.c:18-39).
+    #: DIA sub-format: extract high-fill diagonals into dense offset vectors
+    #: *before* SELL packing.  TPU-native extension with no reference analog:
+    #: on TPU a dense diagonal is a *static shifted slice* of x — a pure VPU
+    #: FMA with no gather (measured ~4x cheaper per element than the SELL
+    #: two-stage dynamic_gather path) — the analog of how the reference splits
+    #: regular work (blockELL) from irregular work (ER) by what the hardware
+    #: executes well (kernel.cu:150-168 vs 169-194).
+    dia: bool = True
     #: "density" (reference behavior) or "pattern" (column-structure grouping,
     #: best for the multi-window layout — see core/reorder.py).
     sort_mode: str = "density"
@@ -129,6 +137,15 @@ class EhybConfig:
     slice_rows: int = SLICE_ROWS
     width_align: int = WIDTH_ALIGN
     long_row_threshold: int = DEFAULT_LONG_ROW_THRESHOLD
+    #: DIA extraction: a diagonal is extracted when its nnz count is at least
+    #: ``dia_threshold * dim``.  Break-even vs the SELL gather body is where
+    #: dia VPU cost (~5 cyc per 1024 slots) matches gather cost (~22 cyc per
+    #: 1024 nnz): count/dim ≳ 0.23; default slightly below to favor the
+    #: gather-free path (diagonal storage also beats SELL bytes at that fill).
+    dia_threshold: float = 0.2
+    #: Hard cap on extracted diagonals (bounds compile time of the unrolled
+    #: shifted-slice sum and the (K, dim) dense storage).
+    max_diagonals: int = 256
     #: ER tail slice height (rows per ER slice, density-sorted; the analog of the
     #: reference's per-32-row ER warps, convert.c:148-168).
     er_slice_rows: int = SLICE_ROWS

@@ -45,8 +45,12 @@ def config_fingerprint(cfg: EhybConfig) -> str:
         "width_align": cfg.width_align, "long_row": cfg.long_row_threshold,
         "er_slice_rows": cfg.er_slice_rows,
         "features": (cfg.features.reorder, cfg.features.cache,
-                     cfg.features.block, cfg.features.sort_rows),
+                     cfg.features.block, cfg.features.sort_rows,
+                     cfg.features.dia),
         "partitioner": cfg.partitioner, "imbalance": cfg.partition_imbalance,
+        "body_layout": cfg.body_layout, "ordering": cfg.ordering,
+        "min_window_group_nnz": cfg.min_window_group_nnz,
+        "dia": (cfg.dia_threshold, cfg.max_diagonals),
     }, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 

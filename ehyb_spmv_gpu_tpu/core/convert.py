@@ -27,7 +27,7 @@ Conversion invariants (checked by ``verify_conversion`` and unit tests, not by
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -310,9 +310,60 @@ def coo_to_ehyb(m_reordered: MatrixCOO, reordering: Reordering, plan: Plan,
         nnz_label=m_reordered.nnz)
 
 
+def extract_diagonals(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                      dim: int, threshold: float, max_k: int, val_dtype,
+                      off_lo: Optional[int] = None, off_hi: Optional[int] = None
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Find diagonals d = col - row carrying at least ``threshold * dim``
+    entries and densify them.
+
+    Returns (offsets (K,) int64 ascending, dia_val (K, round_up(dim, LANES)),
+    keep_mask over entries — True = extracted to DIA).  ``off_lo``/``off_hi``
+    bound eligible offsets (the sharded converter restricts them to the ±halo
+    range so the shifted x slice stays inside the extended shard vector).
+
+    TPU-native extension (no reference analog — see core/ehyb.py docstring).
+    """
+    lo = -(dim - 1) if off_lo is None else max(off_lo, -(dim - 1))
+    hi = (dim - 1) if off_hi is None else min(off_hi, dim - 1)
+    empty = (np.zeros(0, dtype=np.int64),
+             np.zeros((0, round_up(max(dim, 1), LANES)), dtype=val_dtype),
+             np.zeros(row.shape[0], dtype=bool))
+    if row.shape[0] == 0 or threshold <= 0 or max_k <= 0 or lo > hi:
+        return empty
+    d = col.astype(np.int64) - row.astype(np.int64)
+    eligible = (d >= lo) & (d <= hi)
+    if not eligible.any():
+        return empty
+    # Count entries per offset (only over the eligible band).
+    de = d[eligible]
+    counts = np.bincount(de - lo, minlength=hi - lo + 1)
+    min_count = max(1, int(np.ceil(threshold * dim)))
+    cand = np.flatnonzero(counts >= min_count)
+    if cand.size == 0:
+        return empty
+    if cand.size > max_k:
+        cand = cand[np.argsort(-counts[cand], kind="stable")[:max_k]]
+        cand.sort()
+    offsets = cand.astype(np.int64) + lo
+
+    off_rank = np.full(hi - lo + 1, -1, dtype=np.int64)
+    off_rank[offsets - lo] = np.arange(offsets.shape[0])
+    keep = np.zeros(row.shape[0], dtype=bool)
+    keep[eligible] = off_rank[de - lo] >= 0
+
+    dim_r = round_up(max(dim, 1), LANES)
+    dia_val = np.zeros((offsets.shape[0], dim_r), dtype=val_dtype)
+    k_of = off_rank[d[keep] - lo]
+    # += (not =): tolerates duplicate COO entries, matching dense semantics.
+    np.add.at(dia_val, (k_of, row[keep]), val[keep].astype(val_dtype))
+    return offsets, dia_val, keep
+
+
 def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
                  boundaries: np.ndarray, window_rows: int, n_parts: int,
-                 config: EhybConfig, nnz_label: int = -1) -> EhybMatrix:
+                 config: EhybConfig, nnz_label: int = -1,
+                 dia_off_range: Optional[Tuple[int, int]] = None) -> EhybMatrix:
     """Core conversion on raw triples.
 
     Row indices must lie in [0, dim); ``boundaries`` partitions the row space.
@@ -327,6 +378,21 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
     if nnz_label < 0:
         nnz_label = row.shape[0]
     nnz_total = row.shape[0]
+
+    # --- 0. DIA extraction (before everything else) -------------------------
+    if config.features.dia:
+        rng = dia_off_range or (None, None)
+        dia_offsets, dia_val, dia_keep = extract_diagonals(
+            row, col, val, dim, config.dia_threshold, config.max_diagonals,
+            vdt, off_lo=rng[0], off_hi=rng[1])
+    else:
+        dia_offsets = np.zeros(0, dtype=np.int64)
+        dia_val = np.zeros((0, round_up(max(dim, 1), LANES)), dtype=vdt)
+        dia_keep = np.zeros(row.shape[0], dtype=bool)
+    nnz_dia = int(dia_keep.sum())
+    if nnz_dia:
+        rest = ~dia_keep
+        row, col, val = row[rest], col[rest], val[rest]
 
     # --- 1. classification -------------------------------------------------
     # (With features.cache off, models pass a single-partition plan whose window
@@ -427,16 +493,19 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
     nnz_ell = int(in_win.sum())
     nnz_er = int(er_only.sum())
     nnz_long = int(is_long_entry.sum())
-    assert nnz_ell + nnz_er + nnz_long == nnz_total, \
+    assert nnz_dia + nnz_ell + nnz_er + nnz_long == nnz_total, \
         "nnz conservation violated (cf. convert.c:140)"
 
     stats = {
         "nnz_total": nnz_total,
+        "nnz_dia": nnz_dia,
         "nnz_ell": nnz_ell,
         "nnz_er": nnz_er,                # the reference's `toER` (convert.c:140)
         "nnz_long": nnz_long,
         "waste_ell": waste_ell,          # the reference's wasteElement (convert.c:310)
         "waste_er": waste_er,
+        "waste_dia": int(dia_val.size - nnz_dia),
+        "n_diagonals": int(dia_offsets.shape[0]),
         "n_slices": int(n_slices),
         "n_er_rows": int(n_er_rows),
         "n_long_rows": int(long_rows.size),
@@ -445,9 +514,12 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         "window_rows": W,
         "n_parts": n_parts,
     }
-    log.info("COO2EHYB: nnz=%d → ELL %d (%.1f%%, waste %.1f%%) | ER %d | long %d "
-             "(rows: %d slices, %d ER rows, %d long)",
-             nnz_total, nnz_ell, 100.0 * nnz_ell / max(1, nnz_total),
+    log.info("COO2EHYB: nnz=%d → DIA %d (%.1f%%, %d diags) | ELL %d (%.1f%%, "
+             "waste %.1f%%) | ER %d | long %d (rows: %d slices, %d ER rows, "
+             "%d long)",
+             nnz_total, nnz_dia, 100.0 * nnz_dia / max(1, nnz_total),
+             dia_offsets.shape[0],
+             nnz_ell, 100.0 * nnz_ell / max(1, nnz_total),
              100.0 * waste_ell / max(1, nnz_ell + waste_ell),
              nnz_er, nnz_long, n_slices, n_er_rows, long_rows.size)
 
@@ -460,7 +532,8 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         er_col=er_col, er_val=er_val,
         er_slice_offset=er_slice_offset.astype(np.int32), er_rows=er_rows,
         long_col=long_col, long_val=long_val, long_seg=long_seg,
-        long_rows=long_rows, stats=stats)
+        long_rows=long_rows, dia_offsets=dia_offsets, dia_val=dia_val,
+        stats=stats)
 
 
 def ehyb_to_dense(e: EhybMatrix) -> np.ndarray:
@@ -495,6 +568,13 @@ def ehyb_to_dense(e: EhybMatrix) -> np.ndarray:
     for i in range(e.long_col.shape[0]):
         r = int(e.long_rows[int(e.long_seg[i])])
         A[r, int(e.long_col[i])] += float(e.long_val[i])
+
+    for k in range(e.dia_offsets.shape[0]):
+        d = int(e.dia_offsets[k])
+        for r in range(max(0, -d), min(dim, dim - d)):
+            v = float(e.dia_val[k, r])
+            if v != 0.0:
+                A[r, r + d] += v
     return A[:dim]
 
 

@@ -1,7 +1,16 @@
 """The EHYB-TPU matrix container.
 
-TPU re-design of ``matrixEHYB`` (``spmv.h:35-63``).  Three sub-formats, same
-roles as the reference but with TPU-native layouts:
+TPU re-design of ``matrixEHYB`` (``spmv.h:35-63``).  Four sub-formats — the
+reference's three plus a TPU-native DIA body — split by what the hardware
+executes well:
+
+  * **DIA body** — dense high-fill diagonals as (K, dim) value rows plus a
+    *static* offset list.  No reference analog: on TPU a diagonal multiply is
+    a statically-shifted slice of x (pure VPU FMA, no gather), ~4x cheaper per
+    element than the SELL dynamic_gather path, so regular banded structure is
+    peeled off first.  Offsets are compile-time constants (pytree aux data).
+
+Remaining three, same roles as the reference with TPU-native layouts:
 
   * **blockELL body** — SELL-C-σ slices with C = 128 rows (rows live on VPU
     *lanes*; the ELL width dimension runs along sublanes), window-local column
@@ -84,6 +93,16 @@ class EhybMatrix:
     #: (n_long,) int32 — true row ids of long rows.
     long_rows: np.ndarray
 
+    # --- DIA body (TPU-native; extracted before SELL packing) ---
+    #: (K,) int64 — diagonal offsets d (col = row + d), sorted ascending.
+    #: Static metadata on device (baked into the jitted apply as slice starts).
+    dia_offsets: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int64))
+    #: (K, round_up(dim, LANES)) values: ``dia_val[k, i] = A[i, i + d_k]``
+    #: (0 where the diagonal has no entry / runs off the matrix edge).
+    dia_val: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 0), dtype=np.float32))
+
     stats: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------
@@ -137,6 +156,9 @@ class EhybMatrix:
             long_val=cast(self.long_val),
             long_seg=jnp.asarray(self.long_seg),
             long_rows=jnp.asarray(self.long_rows),
+            dia_val=cast(self.dia_val),
+            dia_offsets=tuple(int(d) for d in self.dia_offsets),
+            body_nnz=int(self.stats.get("nnz_ell", self.ell_val.size)),
         )
 
     # -- serialization (the reference never caches its converted format; we do,
@@ -153,12 +175,22 @@ class EhybMatrix:
             er_slice_offset=self.er_slice_offset, er_rows=self.er_rows,
             long_col=self.long_col, long_val=self.long_val,
             long_seg=self.long_seg, long_rows=self.long_rows,
+            dia_offsets=self.dia_offsets, dia_val=self.dia_val,
+            stats_json=np.bytes_(
+                __import__("json").dumps(self.stats).encode()),
         )
 
     @staticmethod
     def load_npz(path: str) -> "EhybMatrix":
         z = np.load(path)
+        extra = {}
+        if "dia_offsets" in z:  # older caches predate the DIA body
+            extra = dict(dia_offsets=z["dia_offsets"], dia_val=z["dia_val"])
+        stats = {}
+        if "stats_json" in z:
+            stats = __import__("json").loads(bytes(z["stats_json"]).decode())
         return EhybMatrix(
+            stats=stats, **extra,
             dim=int(z["dim"]), nnz_total=int(z["nnz_total"]),
             window_rows=int(z["window_rows"]), n_parts=int(z["n_parts"]),
             ell_col=z["ell_col"], ell_val=z["ell_val"],
@@ -192,21 +224,31 @@ class EhybDevice:
     long_val: Any
     long_seg: Any
     long_rows: Any
+    #: (K, dim_r) diagonal values (leaf); offsets are static aux metadata.
+    dia_val: Any = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 0), dtype=np.float32))
+    #: Static tuple of diagonal offsets — compile-time slice starts.
+    dia_offsets: tuple = ()
+    #: Static SELL-body nnz: 0 lets the applies skip the body entirely
+    #: (everything went to DIA/ER/long).
+    body_nnz: int = -1
 
     _ARRAY_FIELDS = ("ell_col", "ell_val", "slice_offset", "slice_win_start",
                      "step_win",
                      "er_col", "er_val", "er_slice_offset", "er_rows",
-                     "long_col", "long_val", "long_seg", "long_rows")
+                     "long_col", "long_val", "long_seg", "long_rows",
+                     "dia_val")
 
     def tree_flatten(self):
         leaves = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
-        aux = (self.dim, self.window_rows)
+        aux = (self.dim, self.window_rows, self.dia_offsets, self.body_nnz)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        dim, window_rows = aux
-        return cls(dim, window_rows, *leaves)
+        dim, window_rows, dia_offsets, body_nnz = aux
+        return cls(dim, window_rows, *leaves,
+                   dia_offsets=dia_offsets, body_nnz=body_nnz)
 
 
 def _register_pytree() -> None:

@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import EhybConfig, LANES, SUBLANES_F32, WINDOW_ALIGN, round_up
 from ..core.ehyb import EhybDevice, EhybMatrix
-from ..ops.xla_ops import combine_ehyb, ehyb_er_xla, ehyb_long_xla
+from ..ops.xla_ops import (combine_ehyb, ehyb_dia_xla, ehyb_er_xla,
+                           ehyb_long_xla)
 from ..utils.log import get_logger
 
 log = get_logger(__name__)
@@ -143,6 +144,19 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
     x_rows = e.padded_x_rows // LANES  # x2d shape (x_rows, 128)
     resident = e.padded_x_rows * np.dtype(vdt).itemsize <= X_RESIDENT_BYTES
 
+    if e.stats.get("nnz_ell", 1) == 0:
+        # Everything went to DIA/ER/long: skip the Pallas body entirely (the
+        # converter still emits one dummy tile per slice, but there is nothing
+        # to compute — and nothing for the grid to initialize, since y is
+        # assembled from zeros in combine_ehyb).
+        def apply_nobody(dev: EhybDevice, x_pad: jax.Array) -> jax.Array:
+            y_body = jnp.zeros(n_slices * LANES, dtype=x_pad.dtype)
+            return combine_ehyb(dev, y_body, ehyb_er_xla(dev, x_pad),
+                                ehyb_long_xla(dev, x_pad),
+                                ehyb_dia_xla(dev, x_pad))
+        log.info("pallas SELL body skipped: 0 body nnz (all DIA/ER/long)")
+        return apply_nobody
+
     nnz_body = e.stats.get("nnz_ell", e.ell_val.size)
     vbytes = np.dtype(vdt).itemsize
     cost = pl.CostEstimate(
@@ -215,7 +229,8 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
         y_body = jnp.sum(y3d, axis=1).reshape(-1)  # cross-sublane reduce
         y_er = ehyb_er_xla(dev, x_pad)
         y_long = ehyb_long_xla(dev, x_pad)
-        return combine_ehyb(dev, y_body, y_er, y_long)
+        y_dia = ehyb_dia_xla(dev, x_pad)
+        return combine_ehyb(dev, y_body, y_er, y_long, y_dia)
 
     log.info("pallas SELL body [%s]: %d tiles, %d slices", kind,
              n_tiles, n_slices)

@@ -57,6 +57,36 @@ def _step_slice_ids(slice_offset: jax.Array, n_steps: int) -> jax.Array:
     return jnp.searchsorted(slice_offset[1:], steps, side="right")
 
 
+def ehyb_dia_xla(e: EhybDevice, x_pad: jax.Array,
+                 x_base: int = 0) -> jax.Array:
+    """DIA body: y[i] = Σ_k dia_val[k, i] · x[i + d_k].
+
+    The diagonal offsets are *static* (pytree aux), so each term is a
+    statically-shifted slice of x — a pure VPU multiply-add with no gather.
+    TPU-native extension; no reference analog (see core/ehyb.py).
+
+    ``x_base``: index of logical row 0 inside ``x_pad`` (the sharded body
+    passes W for its [halo | local | halo] extended vector).  Returns y of
+    length dia_val.shape[1] (= round_up(dim, LANES)), or length 0 when no
+    diagonals were extracted.
+    """
+    offs = e.dia_offsets
+    if not offs:
+        return jnp.zeros(0, dtype=x_pad.dtype)
+    dim_r = e.dia_val.shape[1]
+    lo = min(min(offs) + x_base, 0)          # most negative slice start
+    hi = max(max(offs) + x_base + dim_r, x_pad.shape[0])
+    x_ext = x_pad
+    if lo < 0 or hi > x_pad.shape[0]:
+        x_ext = jnp.pad(x_pad, (-lo, hi - x_pad.shape[0]))
+    y = jnp.zeros(dim_r, dtype=x_pad.dtype)
+    for k, d in enumerate(offs):
+        start = x_base + d - lo
+        y = y + e.dia_val[k].astype(x_pad.dtype) \
+            * jax.lax.slice(x_ext, (start,), (start + dim_r,))
+    return y
+
+
 def ehyb_body_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
     """SELL body: y[s*128+lane] = Σ_k ell_val[k,lane]·x[win(s)+ell_col[k,lane]].
 
@@ -64,7 +94,7 @@ def ehyb_body_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
     (``kernelCachedBlockedELL`` ``kernel.cu:150-168``)."""
     n_steps, C = e.ell_val.shape
     n_slices = e.slice_win_start.shape[0]
-    if n_steps == 0:
+    if n_steps == 0 or e.body_nnz == 0:
         return jnp.zeros(n_slices * C, dtype=x_pad.dtype)
     step_slice = _step_slice_ids(e.slice_offset, n_steps)
     gidx = e.step_win[:, None].astype(jnp.int32) + e.ell_col.astype(jnp.int32)
@@ -106,7 +136,7 @@ def ehyb_long_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
 
 
 def combine_ehyb(e: EhybDevice, y_body: jax.Array, y_er: jax.Array,
-                 y_long: jax.Array) -> jax.Array:
+                 y_long: jax.Array, y_dia: jax.Array = None) -> jax.Array:
     """Assemble the final (reordered, padded) y from the three phases.
 
     Scatter-back of the packed ER result is the role of ``vecReorderER``
@@ -118,6 +148,9 @@ def combine_ehyb(e: EhybDevice, y_body: jax.Array, y_er: jax.Array,
     ny = y_body.shape[0] + LANES  # slack so the dump row `dim` is in range
     y = jnp.zeros(ny, dtype=y_body.dtype)
     y = y.at[: y_body.shape[0]].set(y_body)
+    if y_dia is not None and y_dia.shape[0]:
+        n = min(y_dia.shape[0], ny)
+        y = y.at[:n].add(y_dia[:n])
     if y_er.shape[0]:
         y = y.at[e.er_rows].add(y_er, indices_are_sorted=False,
                                 unique_indices=False)
@@ -132,4 +165,5 @@ def ehyb_apply_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
     y_body = ehyb_body_xla(e, x_pad)
     y_er = ehyb_er_xla(e, x_pad)
     y_long = ehyb_long_xla(e, x_pad)
-    return combine_ehyb(e, y_body, y_er, y_long)
+    y_dia = ehyb_dia_xla(e, x_pad)
+    return combine_ehyb(e, y_body, y_er, y_long, y_dia)

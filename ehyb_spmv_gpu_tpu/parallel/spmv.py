@@ -91,6 +91,13 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
     R = round_up(cdiv(dim, n_dev), LANES)
     W = min(window_rows, R)  # halo is one neighbor deep: window ≤ shard span
 
+    # DIA offsets are static per-program metadata; per-shard offset sets would
+    # break SPMD uniformity under shard_map.  Until the union-of-offsets
+    # treatment lands, the sharded path uses the SELL/ER/long formats only.
+    if config.features.dia:
+        config = dataclasses.replace(
+            config, features=dataclasses.replace(config.features, dia=False))
+
     shards = []
     for d in range(n_dev):
         b0, b1 = d * R, min((d + 1) * R, dim)

@@ -69,9 +69,11 @@ def spmv_bytes_model(stats: dict, value_bytes: int = 4,
     ell = (stats.get("nnz_ell", 0) + stats.get("waste_ell", 0))
     er = (stats.get("nnz_er", 0) + stats.get("waste_er", 0))
     lng = stats.get("nnz_long", 0)
+    dia = (stats.get("nnz_dia", 0) + stats.get("waste_dia", 0))
     n_bytes = ell * (value_bytes + ell_index_bytes)
     n_bytes += er * (value_bytes + 4)
     n_bytes += lng * (value_bytes + 4)
+    n_bytes += dia * value_bytes          # diagonals carry no indices
     n_bytes += 2 * dim * value_bytes
     return int(n_bytes)
 

@@ -26,7 +26,8 @@ def build(m, cfg=None, sort_rows=True):
 def test_nnz_conservation(poisson_mid):
     e, m_r, _, _ = build(poisson_mid)
     s = e.stats
-    assert s["nnz_ell"] + s["nnz_er"] + s["nnz_long"] == poisson_mid.nnz
+    assert (s["nnz_dia"] + s["nnz_ell"] + s["nnz_er"] + s["nnz_long"]
+            == poisson_mid.nnz)
 
 
 def test_exact_reconstruction_poisson(poisson_mid):
