@@ -3,9 +3,13 @@
 
 Protocol mirrors the reference's canonical run (``./spmv.out -i 2000 -m
 audikw_1``, ``README.md:8-13``; timing loop ``spmv.cu:100-122``): warm-up, then
-timed SpMV iterations, GFLOP/s = 2·nnz·iter/time.  The corpus matrix is a
-generated audikw_1-class FEM matrix (no SuiteSparse download in this
-environment — see ``io/generate.py``).
+timed SpMV iterations through a device-side loop, GFLOP/s = 2·nnz·iter/time.
+The corpus matrix is a generated audikw_1-class FEM matrix (no SuiteSparse
+download in this environment — see ``io/generate.py``).
+
+Each model runs in its OWN SUBPROCESS: a TPU kernel fault in one model (the
+vendor BCOO baseline has crashed the device before) must not poison the
+others — the device error wedges the whole process, like a CUDA sticky error.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GFLOP/s", "vs_baseline": N}
@@ -17,21 +21,22 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import traceback
-
-import numpy as np
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main() -> int:
-    os.environ.setdefault("EHYB_LOG", "INFO")
+RESULT_TAG = "BENCH_RESULT "
+
+
+def run_model(model_name: str, matrix_name: str, iters: int) -> int:
+    """Child mode: benchmark one model, print RESULT_TAG + json to stdout."""
     import jax
 
-    # Remote TPU compiles cost minutes; persist compiled executables.
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/ehyb_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -43,63 +48,82 @@ def main() -> int:
     from ehyb_spmv_gpu_tpu.utils.timing import bench_apply, spmv_bytes_model
     from ehyb_spmv_gpu_tpu.utils.validate import rel_error
 
-    backend = jax.default_backend()
-    matrix_name = os.environ.get("EHYB_BENCH_MATRIX", "fem3d_32")
-    iters = int(os.environ.get("EHYB_BENCH_ITERS", "500"))
-    log(f"backend={backend} devices={jax.devices()} matrix={matrix_name} "
-        f"iters={iters}")
-
+    log(f"[{model_name}] backend={jax.default_backend()} matrix={matrix_name}")
     m = generate.CORPUS[matrix_name]()
-    log(f"matrix: dim={m.dimension} nnz={m.nnz} maxCol={m.max_col()}")
     x = deterministic_x(m.dimension)
     want = oracle_spmv(m, x)
 
-    def run(model_name: str, cfg: EhybConfig):
-        model = ehyb.MODELS[model_name](cfg).setup(m)
-        err = rel_error(model.matvec(x), want)
-        log(f"{model_name}: rel_error={err:.3e}")
-        if err > 1e-4:
-            raise RuntimeError(f"{model_name} validation failed: {err}")
-        x_dev = model.prepare_x(x)
-        stats = getattr(model, "ehyb", None)
-        bm = (spmv_bytes_model(stats.stats, dim=m.dimension)
-              if stats is not None else m.nnz * 8 + 2 * m.dimension * 4)
-        return bench_apply(model_name, lambda n: model.iterate(x_dev, n),
-                           nnz=m.nnz, iters=iters, warmup=10, bytes_model=bm)
+    cfg = EhybConfig(artifact_cache=True)
+    model = ehyb.MODELS[model_name](cfg).setup(m)
+    err = rel_error(model.matvec(x), want)
+    log(f"[{model_name}] rel_error={err:.3e}")
+    if err > 1e-4:
+        raise RuntimeError(f"{model_name} validation failed: {err}")
+    x_dev = model.prepare_x(x)
+    e = getattr(model, "ehyb", None)
+    bm = (spmv_bytes_model(e.stats, dim=m.dimension)
+          if e is not None else m.nnz * 8 + 2 * m.dimension * 4)
+    res = bench_apply(model_name, lambda n: model.iterate(x_dev, n),
+                      nnz=m.nnz, iters=iters, warmup=10, bytes_model=bm)
+    print(RESULT_TAG + json.dumps({
+        "model": model_name, "gflops": res.gflops, "seconds": res.seconds,
+        "rel_error": err, "roofline_gflops": res.roofline_gflops,
+        "roofline_frac": res.roofline_frac, "bytes_model": res.bytes_model,
+        "nnz": m.nnz}), flush=True)
+    return 0
+
+
+def run_child(model_name: str, matrix: str, iters: int, timeout: int = 1500):
+    """Parent side: run one model benchmark in a subprocess; None on failure."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", model_name,
+             matrix, str(iters)],
+            stdout=subprocess.PIPE, stderr=sys.stderr, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        log(f"[{model_name}] TIMED OUT after {timeout}s")
+        return None
+    out = proc.stdout.decode(errors="replace")
+    for line in out.splitlines():
+        if line.startswith(RESULT_TAG):
+            return json.loads(line[len(RESULT_TAG):])
+    log(f"[{model_name}] no result (exit={proc.returncode}); stdout:\n{out[-2000:]}")
+    return None
+
+
+def main() -> int:
+    os.environ.setdefault("EHYB_LOG", "INFO")
+    if len(sys.argv) > 1 and sys.argv[1] == "--run":
+        return run_model(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+
+    matrix = os.environ.get("EHYB_BENCH_MATRIX", "fem3d_32")
+    iters = int(os.environ.get("EHYB_BENCH_ITERS", "500"))
 
     # Flagship (graceful degradation so the bench always reports something).
     flagship = None
     for name in ("ehyb", "ehyb_xla", "csr"):
-        try:
-            flagship = run(name, EhybConfig())
-            flagship_name = name
+        flagship = run_child(name, matrix, iters)
+        if flagship:
             break
-        except Exception:
-            log(f"flagship model {name} failed:\n{traceback.format_exc()}")
-    if flagship is None:
+    if not flagship:
         print(json.dumps({"metric": "spmv_gflops", "value": 0.0,
                           "unit": "GFLOP/s", "vs_baseline": 0.0}))
         return 1
 
-    # Vendor baseline (BCOO = cuSPARSE analog).
-    baseline = None
-    try:
-        baseline = run("bcoo", EhybConfig())
-    except Exception:
-        log(f"baseline bcoo failed:\n{traceback.format_exc()}")
-        try:
-            baseline = run("csr", EhybConfig())
-        except Exception:
-            log("csr baseline failed too")
+    # Vendor baseline (jax BCOO = the cuSPARSE analog); csr as fallback.
+    baseline = run_child("bcoo", matrix, min(iters, 100))
+    if not baseline and flagship["model"] != "csr":
+        baseline = run_child("csr", matrix, min(iters, 100))
 
-    vs = flagship.gflops / baseline.gflops if baseline else 0.0
-    log(f"flagship[{flagship_name}] {flagship.gflops:.2f} GFLOP/s "
-        f"({100*flagship.roofline_frac:.1f}% of roofline) | "
-        f"baseline {baseline.gflops if baseline else float('nan'):.2f} → "
-        f"{vs:.2f}x")
+    vs = flagship["gflops"] / baseline["gflops"] if baseline else 0.0
+    log(f"flagship[{flagship['model']}] {flagship['gflops']:.2f} GFLOP/s "
+        f"(HBM roofline {100*flagship['roofline_frac']:.1f}%"
+        f"{' — working set VMEM-resident' if flagship['bytes_model'] < 100e6 else ''}) "
+        f"| baseline[{baseline['model'] if baseline else '-'}] "
+        f"{baseline['gflops'] if baseline else float('nan'):.2f} → {vs:.2f}x")
     print(json.dumps({
-        "metric": f"spmv_gflops_{matrix_name}_{backend}",
-        "value": round(flagship.gflops, 3),
+        "metric": f"spmv_gflops_{matrix}_tpu",
+        "value": round(flagship["gflops"], 3),
         "unit": "GFLOP/s",
         "vs_baseline": round(vs, 3),
     }))

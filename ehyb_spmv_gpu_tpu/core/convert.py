@@ -493,6 +493,16 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
     nnz_ell = int(in_win.sum())
     nnz_er = int(er_only.sum())
     nnz_long = int(is_long_entry.sum())
+
+    if nnz_ell == 0 and n_slices > 0:
+        # Empty SELL body (everything went to DIA/ER/long): drop the dummy
+        # tiles — the applies skip the body, so the padded arrays would only
+        # waste device memory.  n_slices is kept (it sizes padded y).
+        ell_col = np.zeros((0, C), dtype=cdt)
+        ell_val = np.zeros((0, C), dtype=vdt)
+        slice_offset = np.zeros(n_slices + 1, dtype=np.int32)
+        step_win = np.zeros(0, dtype=np.int32)
+        waste_ell = 0
     assert nnz_dia + nnz_ell + nnz_er + nnz_long == nnz_total, \
         "nnz conservation violated (cf. convert.c:140)"
 

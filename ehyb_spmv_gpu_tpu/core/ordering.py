@@ -92,6 +92,40 @@ def reordering_from_order(new_to_old: np.ndarray, dim: int,
                       old_to_new=old_to_new, boundaries=bounds)
 
 
+#: Measured VPU cost per (8,128) vreg on v5e: DIA shifted-slice FMA vs the
+#: SELL two-stage dynamic_gather body (see scripts/profile_kernel.py).
+_CYC_DIA_VREG = 4.0
+_CYC_SELL_VREG = 22.0
+
+
+def estimate_cost(row_new: np.ndarray, col_new: np.ndarray, dim: int,
+                  config: EhybConfig) -> float:
+    """Estimated device cost (VPU cycle units) of the multi-window EHYB apply
+    under a given ordering, DIA extraction included.
+
+    Diagonals above the extraction threshold are charged at the gather-free
+    DIA rate; remaining entries at the SELL-body rate via
+    :func:`estimate_mw_steps`.
+    """
+    d = col_new.astype(np.int64) - row_new.astype(np.int64)
+    counts = np.bincount(d + (dim - 1), minlength=2 * dim - 1)
+    min_count = max(1, int(np.ceil(config.dia_threshold * dim)))
+    cand = np.flatnonzero(counts >= min_count)
+    if cand.size > config.max_diagonals:
+        cand = cand[np.argsort(-counts[cand], kind="stable")
+                    [:config.max_diagonals]]
+    n_dia = cand.size
+    if n_dia:
+        is_dia = np.zeros(2 * dim - 1, dtype=bool)
+        is_dia[cand] = True
+        rest = ~is_dia[d + (dim - 1)]
+        row_new, col_new = row_new[rest], col_new[rest]
+    steps = estimate_mw_steps(row_new, col_new, dim, config.slice_rows,
+                              config.min_window_group_nnz)
+    return (n_dia * cdiv(dim, 1024) * _CYC_DIA_VREG
+            + steps / 8.0 * _CYC_SELL_VREG)
+
+
 def estimate_mw_steps(row_new: np.ndarray, col_new: np.ndarray, dim: int,
                       slice_rows: int = 128, min_group_nnz: int = 4) -> int:
     """Packed width-steps the multi-window layout would need under a given
@@ -151,14 +185,29 @@ def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
     if mode != "auto":
         raise ValueError(f"unknown ordering {mode!r}")
 
+    # Lower bound: every nnz lands in a perfectly-filled DIA vreg.  If a
+    # candidate is already within 1.5x of it, stop evaluating (RCM/partition
+    # construction is minutes of host time on audikw_1-scale matrices).
+    floor = m.nnz / 1024.0 * (_CYC_DIA_VREG if config.features.dia
+                              else _CYC_SELL_VREG)
     best_name, best_r, best_cost = None, None, None
     for name, fn in candidates.items():
         r = fn()
-        cost = estimate_mw_steps(r.old_to_new[m.row], r.old_to_new[m.col],
-                                 dim, config.slice_rows,
-                                 config.min_window_group_nnz)
-        log.info("ordering %s: estimated %d packed steps", name, cost)
+        if config.features.dia:
+            cost = estimate_cost(r.old_to_new[m.row], r.old_to_new[m.col],
+                                 dim, config)
+        else:
+            cost = (estimate_mw_steps(r.old_to_new[m.row],
+                                      r.old_to_new[m.col], dim,
+                                      config.slice_rows,
+                                      config.min_window_group_nnz)
+                    / 8.0 * _CYC_SELL_VREG)
+        log.info("ordering %s: estimated cost %.0f cyc-units", name, cost)
         if best_cost is None or cost < best_cost:
             best_name, best_r, best_cost = name, r, cost
-    log.info("ordering auto → %s (%d steps)", best_name, best_cost)
+        if best_cost <= 1.5 * floor:
+            log.info("ordering %s within 1.5x of the nnz floor; stopping",
+                     best_name)
+            break
+    log.info("ordering auto → %s (cost %.0f)", best_name, best_cost)
     return best_r

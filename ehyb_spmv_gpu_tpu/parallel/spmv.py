@@ -39,8 +39,8 @@ from ..core.ehyb import EhybDevice, EhybMatrix
 from ..core.planner import Plan, make_plan
 from ..core.reorder import Reordering, identity_reordering, two_level_reorder
 from ..models.base import SpmvModel
-from ..ops.xla_ops import (combine_ehyb, ehyb_body_xla, ehyb_er_xla,
-                           ehyb_long_xla)
+from ..ops.xla_ops import (combine_ehyb, ehyb_body_xla, ehyb_dia_xla,
+                           ehyb_er_xla, ehyb_long_xla)
 from ..partition import partition_rows
 from ..utils.log import get_logger
 
@@ -80,6 +80,11 @@ class ShardedEhyb:
     long_seg: np.ndarray         # (D, L)
     long_rows: np.ndarray        # (D, n_long) — LOCAL rows, dump = R
 
+    #: Union of all shards' diagonal offsets (static; SPMD programs must be
+    #: uniform, so shards missing an offset carry an all-zero dia_val row).
+    dia_offsets: tuple = ()
+    dia_val: np.ndarray = None   # (D, K_union, R)
+
     stats: dict = dataclasses.field(default_factory=dict)
 
 
@@ -90,13 +95,6 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
     dim = m_r.dimension
     R = round_up(cdiv(dim, n_dev), LANES)
     W = min(window_rows, R)  # halo is one neighbor deep: window ≤ shard span
-
-    # DIA offsets are static per-program metadata; per-shard offset sets would
-    # break SPMD uniformity under shard_map.  Until the union-of-offsets
-    # treatment lands, the sharded path uses the SELL/ER/long formats only.
-    if config.features.dia:
-        config = dataclasses.replace(
-            config, features=dataclasses.replace(config.features, dia=False))
 
     shards = []
     for d in range(n_dev):
@@ -119,9 +117,11 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         inside = gb[(gb > b0) & (gb < b1)] - b0
         bounds_l = np.concatenate([[first], inside, [R]])
 
+        # DIA offsets are bounded to ±W so every shifted slice stays inside
+        # the [halo_W | local_R | halo_W] extended x (ehyb_dia_xla x_base=W).
         e = convert_core(row_l, col_l, val_l, dim=R, boundaries=bounds_l,
                          window_rows=W, n_parts=len(bounds_l) - 1,
-                         config=config)
+                         config=config, dia_off_range=(-W, W))
         # Window starts into the extended x [halo_W | local_R | halo_W].
         e.slice_win_start = (e.slice_win_start.astype(np.int64) + W).astype(np.int32)
         e.step_win = (e.step_win.astype(np.int64) + W).astype(np.int32)
@@ -141,6 +141,16 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
 
     def stack(field_fn):
         return np.stack([field_fn(s) for s in shards], axis=0)
+
+    # Union of DIA offsets across shards → uniform static metadata.
+    union = sorted({int(d) for s in shards for d in s.dia_offsets})
+    K = len(union)
+    rank = {d: k for k, d in enumerate(union)}
+    dia_val = np.zeros((n_dev, max(K, 0), R),
+                       dtype=shards[0].dia_val.dtype if shards else np.float32)
+    for i, s in enumerate(shards):
+        for k, d in enumerate(s.dia_offsets):
+            dia_val[i, rank[int(d)], : s.dia_val.shape[1]] = s.dia_val[k]
 
     def pad_offsets(off: np.ndarray, n_slices_target: int, total: int):
         off = off.astype(np.int32)
@@ -166,6 +176,7 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         long_seg=stack(lambda s: _pad_rows(s.long_seg, n_long_entries,
                                            fill=n_long - 1)),
         long_rows=stack(lambda s: _pad_rows(s.long_rows, n_long, fill=R)),
+        dia_offsets=tuple(union), dia_val=dia_val,
         stats={"per_dev": [s.stats for s in shards], "R": R, "W": W},
     )
     return sh
@@ -173,9 +184,9 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
 
 def _shard_body(sh_meta, x_shard, ell_col, ell_val, slice_offset,
                 slice_win_start, step_win, er_col, er_val, er_slice_offset,
-                er_rows, long_col, long_val, long_seg, long_rows):
+                er_rows, long_col, long_val, long_seg, long_rows, dia_val):
     """Per-device SPMD body (runs under shard_map; axis name AXIS)."""
-    R, W, n_dev = sh_meta
+    R, W, n_dev, dia_offsets, body_nnz = sh_meta
     x_local = x_shard.reshape(-1)  # (R,)
 
     # Ring halos: left halo = last W rows of the left neighbor, right halo =
@@ -198,12 +209,14 @@ def _shard_body(sh_meta, x_shard, ell_col, ell_val, slice_offset,
         er_col=er_col[0], er_val=er_val[0],
         er_slice_offset=er_slice_offset[0], er_rows=er_rows[0],
         long_col=long_col[0], long_val=long_val[0],
-        long_seg=long_seg[0], long_rows=long_rows[0])
+        long_seg=long_seg[0], long_rows=long_rows[0],
+        dia_val=dia_val[0], dia_offsets=dia_offsets, body_nnz=body_nnz)
 
     y_body = ehyb_body_xla(dev, x_ext)       # windows into x_ext
     y_er = ehyb_er_xla(dev, x_full)          # global columns
     y_long = ehyb_long_xla(dev, x_full)
-    y = combine_ehyb(dev, y_body, y_er, y_long)  # (R + LANES,)
+    y_dia = ehyb_dia_xla(dev, x_ext, x_base=W)  # ±W shifted slices of x_ext
+    y = combine_ehyb(dev, y_body, y_er, y_long, y_dia)  # (R + LANES,)
     return y[:R].reshape(1, R)
 
 
@@ -229,10 +242,12 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
         er_slice_offset=to_dev(sh.er_slice_offset), er_rows=to_dev(sh.er_rows),
         long_col=to_dev(sh.long_col), long_val=to_dev(sh.long_val, cast=True),
         long_seg=to_dev(sh.long_seg), long_rows=to_dev(sh.long_rows),
+        dia_val=to_dev(sh.dia_val, cast=True),
     )
     names = list(arrays)
 
-    body = partial(_shard_body, (R, W, D))
+    body_nnz = sum(s.get("nnz_ell", 1) for s in sh.stats.get("per_dev", [{}]))
+    body = partial(_shard_body, (R, W, D, sh.dia_offsets, body_nnz))
 
     @jax.jit
     def apply_fn(arrs, x_global):
