@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable partition+reorder (RODR=off)")
     p.add_argument("--no-sort", action="store_true",
                    help="disable in-partition density sort")
+    p.add_argument("--no-dia", action="store_true",
+                   help="disable the gather-free DIA diagonal body")
     p.add_argument("--tol", type=float, default=0.01,
                    help="validation relative tolerance (reference: 1%%)")
     p.add_argument("--cache", action="store_true",
@@ -109,7 +111,8 @@ def main(argv=None) -> int:
         partitioner=args.partitioner,
         artifact_cache=args.cache,
         features=Features(reorder=not args.no_reorder,
-                          sort_rows=not args.no_sort),
+                          sort_rows=not args.no_sort,
+                          dia=not args.no_dia),
     )
     if args.model not in ehyb.MODELS:
         print(f"error: unknown model {args.model!r}", file=sys.stderr)

@@ -52,6 +52,24 @@ class SpmvModel(abc.ABC):
     def apply(self, x_dev: jax.Array) -> jax.Array:
         """One SpMV in the model's layout (jit-compatible)."""
 
+    # -- operand passing mode ------------------------------------------------
+    # By default the matrix arrays are *closure constants* of the jitted
+    # apply: XLA's memory-space assignment then pre-stages them into VMEM
+    # before the benchmark while-loop (128 MiB on v5e), which makes the
+    # steady-state loop VPU-bound — measured 2.7x faster than streaming the
+    # same arrays from HBM.  Models whose working set exceeds the VMEM budget
+    # override ``device_operands`` to pass the arrays as jit ARGUMENTS
+    # instead: constants that large cannot be pre-staged anyway, and on
+    # remote-attached TPUs they blow the compile-request size limit
+    # (HTTP 413 at ~370 MB of embedded constants).
+    def device_operands(self):
+        """Pytree of device arrays to pass as jit args (None = closure mode)."""
+        return None
+
+    def apply_operands(self, operands, x_dev: jax.Array) -> jax.Array:
+        """Apply with explicit operands; default ignores them (closure mode)."""
+        return self.apply(x_dev)
+
     # -- conveniences -------------------------------------------------------
     def matvec(self, x: np.ndarray) -> np.ndarray:
         """End-to-end y = A·x (original ordering, host in/out)."""
@@ -60,7 +78,8 @@ class SpmvModel(abc.ABC):
     @property
     def apply_jit(self):
         if self._apply_jit is None:
-            self._apply_jit = jax.jit(self.apply)
+            jf = jax.jit(partial(type(self).apply_operands, self))
+            self._apply_jit = lambda x: jf(self.device_operands(), x)
         return self._apply_jit
 
     def iterate(self, x_dev: jax.Array, n_iters: int,
@@ -72,18 +91,20 @@ class SpmvModel(abc.ABC):
         loop — the TPU equivalent of the reference's honest kernel-launch loop
         (``spmv.cu:110-116``, which relaunches the same y = A·x every iteration).
         """
-        return self._iterate_jit(x_dev, jnp.asarray(eps, dtype=x_dev.dtype),
+        return self._iterate_jit(self.device_operands(), x_dev,
+                                 jnp.asarray(eps, dtype=x_dev.dtype),
                                  jnp.asarray(n_iters, dtype=jnp.int32))
 
     @partial(jax.jit, static_argnums=(0,))
-    def _iterate_jit(self, x_dev, eps, n_iters):
+    def _iterate_jit(self, operands, x_dev, eps, n_iters):
         # n_iters is a *traced* scalar: one compile serves every iteration
         # count (fori_loop lowers to a while loop) — important because remote
         # TPU compiles of the full apply graph are expensive.
-        y0 = self.apply(x_dev)
+        y0 = self.apply_operands(operands, x_dev)
 
         def body(_, y):
-            return self.apply(x_dev + eps * _resize_like(y, x_dev))
+            return self.apply_operands(
+                operands, x_dev + eps * _resize_like(y, x_dev))
 
         return jax.lax.fori_loop(0, n_iters - 1, body, y0)
 

@@ -33,6 +33,24 @@ class CsrSpmv(SpmvModel):
     def apply(self, x_dev: jax.Array) -> jax.Array:
         return coo_spmv(self._row, self._col, self._val, x_dev, self._n_rows)
 
+    # Pass the triples as jit args when large: on remote-attached TPUs,
+    # closure-constant arrays at audikw_1 scale (hundreds of MB) exceed the
+    # compile-request size limit (see models/base.py); small matrices keep
+    # closure mode for the VMEM pre-staging win, same policy as EHYB.
+    def device_operands(self):
+        from .ehyb import VMEM_PRESTAGE_LIMIT
+
+        total = sum(a.size * a.dtype.itemsize
+                    for a in (self._row, self._col, self._val))
+        return (self._row, self._col, self._val) \
+            if total > VMEM_PRESTAGE_LIMIT else None
+
+    def apply_operands(self, operands, x_dev):
+        if operands is None:
+            return self.apply(x_dev)
+        row, col, val = operands
+        return coo_spmv(row, col, val, x_dev, self._n_rows)
+
 
 class BcooSpmv(SpmvModel):
     """``jax.experimental.sparse`` BCOO matvec — the vendor baseline."""
@@ -53,3 +71,21 @@ class BcooSpmv(SpmvModel):
 
     def apply(self, x_dev: jax.Array) -> jax.Array:
         return self._mat @ x_dev
+
+    def device_operands(self):
+        from .ehyb import VMEM_PRESTAGE_LIMIT
+
+        total = sum(a.size * a.dtype.itemsize
+                    for a in (self._mat.data, self._mat.indices))
+        return (self._mat.data, self._mat.indices) \
+            if total > VMEM_PRESTAGE_LIMIT else None
+
+    def apply_operands(self, operands, x_dev):
+        if operands is None:
+            return self.apply(x_dev)
+        from jax.experimental import sparse as jsparse
+
+        data, indices = operands
+        mat = jsparse.BCOO((data, indices), shape=(self.m.n_rows, self.m.n_cols),
+                           indices_sorted=True, unique_indices=True)
+        return mat @ x_dev

@@ -44,10 +44,32 @@ from .base import SpmvModel
 log = get_logger(__name__)
 
 
+#: Above this device-array footprint the matrix is passed as jit *arguments*
+#: instead of closure constants: constants larger than VMEM (128 MiB on v5e)
+#: cannot be pre-staged anyway, and on remote-attached TPUs they exceed the
+#: compile-request size limit (HTTP 413) — see models/base.py.
+VMEM_PRESTAGE_LIMIT = int(__import__("os").environ.get(
+    "EHYB_PRESTAGE_LIMIT_BYTES", 100 * 1024 * 1024))
+
+
 class EhybXlaSpmv(SpmvModel):
     """EHYB pipeline with the pure-XLA apply (reference semantics everywhere)."""
 
     name = "ehyb_xla"
+
+    def _finish_setup(self):
+        leaves = jax.tree_util.tree_leaves(self.dev)
+        total = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in leaves)
+        self._args_mode = total > VMEM_PRESTAGE_LIMIT
+        log.info("%s device footprint %.1f MB → %s mode", self.name,
+                 total / 1e6, "args" if self._args_mode else "const/VMEM")
+
+    def device_operands(self):
+        return self.dev if getattr(self, "_args_mode", False) else None
+
+    def apply_operands(self, operands, x_dev):
+        return ehyb_apply_xla(operands if operands is not None else self.dev,
+                              x_dev)
 
     def setup(self, m: MatrixCOO) -> "EhybXlaSpmv":
         self.m = m
@@ -63,6 +85,7 @@ class EhybXlaSpmv(SpmvModel):
             if hit is not None:
                 self.ehyb, self.reordering = hit
                 self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
+                self._finish_setup()
                 return self
         if cfg.body_layout == "sell_mw" and cfg.features.reorder:
             from ..core.ordering import pick_ordering
@@ -93,6 +116,7 @@ class EhybXlaSpmv(SpmvModel):
 
             save_artifacts(m, cfg, self.ehyb, self.reordering, cfg.cache_dir)
         self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
+        self._finish_setup()
         log.info("%s ready: %s | stats=%s", self.name, self.plan.describe(),
                  self.ehyb.stats)
         return self
@@ -157,9 +181,13 @@ class EhybSpmv(EhybXlaSpmv):
         return self
 
     def apply(self, x_dev: jax.Array) -> jax.Array:
+        return self.apply_operands(None, x_dev)
+
+    def apply_operands(self, operands, x_dev):
+        dev = operands if operands is not None else self.dev
         if getattr(self, "_use_pallas", False):
-            return self._pallas_apply(self.dev, x_dev)
-        return ehyb_apply_xla(self.dev, x_dev)
+            return self._pallas_apply(dev, x_dev)
+        return ehyb_apply_xla(dev, x_dev)
 
 
 class HybSpmv(EhybXlaSpmv):
