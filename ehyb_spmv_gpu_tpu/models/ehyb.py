@@ -167,17 +167,38 @@ class EhybSpmv(EhybXlaSpmv):
                 feats = dataclasses.replace(feats, sort_mode="pattern")
             from ..ops.ehyb_pallas import SUBTILES, TILE_STEPS
 
+            # Window-local columns fit int16 (windows are 1024 rows here, and
+            # int16 is the reference's own choice, spmv.h:46): halves the
+            # index stream and the VMEM footprint of the col array.
+            idx_dtype = self.config.index_dtype
+            if idx_dtype == "int32" and WINDOW_ALIGN <= 32768:
+                idx_dtype = "int16"
             self.config = dataclasses.replace(
                 self.config, window_rows=WINDOW_ALIGN, body_layout=layout,
-                width_align=SUBTILES * TILE_STEPS,
+                width_align=SUBTILES * TILE_STEPS, index_dtype=idx_dtype,
                 features=feats)
         super().setup(m)
         self._use_pallas = bool(mode)
         if self._use_pallas:
             from ..ops.ehyb_pallas import make_ehyb_pallas_apply
 
+            dia_apply = None
+            if self._args_mode and len(self.dev.dia_offsets):
+                # HBM-streaming regime: the XLA shifted-slice DIA materializes
+                # every term through HBM (measured 11% of roofline on
+                # audikw_1-class) — use the Pallas DIA kernel with x resident
+                # in VMEM and the packed blocked dval layout.
+                from ..ops.dia_pallas import make_dia_pallas_apply, pack_dia
+
+                packed, _ = pack_dia(np.asarray(self.ehyb.dia_val))
+                self.dev = dataclasses.replace(
+                    self.dev, dia_val=jax.numpy.asarray(packed))
+                dia_apply = make_dia_pallas_apply(
+                    self.dev.dia_offsets, self.ehyb.dia_val.shape[1],
+                    self.config.dtype, interpret=(mode == "interpret"))
             self._pallas_apply = make_ehyb_pallas_apply(
-                self.ehyb, self.config, interpret=(mode == "interpret"))
+                self.ehyb, self.config, interpret=(mode == "interpret"),
+                dia_apply=dia_apply)
         return self
 
     def apply(self, x_dev: jax.Array) -> jax.Array:

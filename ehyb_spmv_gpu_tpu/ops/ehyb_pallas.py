@@ -133,16 +133,27 @@ def build_tile_maps(e: EhybMatrix, steps_per_tile: int):
 
 
 def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
-                           interpret: bool = False) -> Callable:
+                           interpret: bool = False,
+                           dia_apply: Callable = None) -> Callable:
     """Build the fused apply: Pallas SELL body + XLA ER/long phases.
 
     Returns ``apply(dev: EhybDevice, x_pad) -> y_padded`` (same contract as
     ``ops.xla_ops.ehyb_apply_xla``).
+
+    ``dia_apply``: optional Pallas DIA kernel ``(dev.dia_val, x_pad) -> y_dia``
+    for the HBM-streaming regime (the caller must have packed ``dev.dia_val``
+    with ``ops.dia_pallas.pack_dia``); default uses the XLA shifted-slice
+    formulation, which is optimal when the working set is VMEM-resident.
     """
     n_slices = e.n_slices
     vdt = config.dtype
     x_rows = e.padded_x_rows // LANES  # x2d shape (x_rows, 128)
     resident = e.padded_x_rows * np.dtype(vdt).itemsize <= X_RESIDENT_BYTES
+
+    def dia_phase(dev: EhybDevice, x_pad: jax.Array) -> jax.Array:
+        if dia_apply is not None:
+            return dia_apply(dev.dia_val, x_pad)
+        return ehyb_dia_xla(dev, x_pad)
 
     if e.stats.get("nnz_ell", 1) == 0:
         # Everything went to DIA/ER/long: skip the Pallas body entirely (the
@@ -153,7 +164,7 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
             y_body = jnp.zeros(n_slices * LANES, dtype=x_pad.dtype)
             return combine_ehyb(dev, y_body, ehyb_er_xla(dev, x_pad),
                                 ehyb_long_xla(dev, x_pad),
-                                ehyb_dia_xla(dev, x_pad))
+                                dia_phase(dev, x_pad))
         log.info("pallas SELL body skipped: 0 body nnz (all DIA/ER/long)")
         return apply_nobody
 
@@ -229,7 +240,7 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
         y_body = jnp.sum(y3d, axis=1).reshape(-1)  # cross-sublane reduce
         y_er = ehyb_er_xla(dev, x_pad)
         y_long = ehyb_long_xla(dev, x_pad)
-        y_dia = ehyb_dia_xla(dev, x_pad)
+        y_dia = dia_phase(dev, x_pad)
         return combine_ehyb(dev, y_body, y_er, y_long, y_dia)
 
     log.info("pallas SELL body [%s]: %d tiles, %d slices", kind,
