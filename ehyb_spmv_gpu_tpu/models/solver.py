@@ -73,8 +73,8 @@ class CgSolver:
         n = m.n_rows
 
         x_fin, it, res2 = self._solve_jit(
-            x_dev, b_dev, minv, jnp.float32(tol * tol * _norm2_host(b)),
-            max_iters, n)
+            self.model.device_operands(), x_dev, b_dev, minv,
+            jnp.float32(tol * tol * _norm2_host(b)), max_iters, n)
         x_host = self.model.recover_y(x_fin)
         res = float(np.sqrt(res2))
         it = int(it)
@@ -84,12 +84,10 @@ class CgSolver:
         return CgResult(x=x_host, iterations=it, residual_norm=res,
                         converged=converged)
 
-    @partial(jax.jit, static_argnums=(0, 5, 6))
-    def _solve_jit(self, x, b, minv, tol2, max_iters, n):
-        apply = self.model.apply
-
+    @partial(jax.jit, static_argnums=(0, 6, 7))
+    def _solve_jit(self, operands, x, b, minv, tol2, max_iters, n):
         def matvec(v):
-            return _resize_like(apply(v), v)
+            return _resize_like(self.model.apply_operands(operands, v), v)
 
         def dot(u, v):
             # padded tails are zero by construction
@@ -140,16 +138,15 @@ class PowerIteration:
         v = rng.standard_normal(m.n_rows)
         v /= np.linalg.norm(v)
         v_dev = self.model.prepare_x(v)
-        v_fin, lam = self._run_jit(v_dev, iters, m.n_rows)
+        v_fin, lam = self._run_jit(self.model.device_operands(), v_dev, iters,
+                                   m.n_rows)
         return self.model.recover_y(v_fin), float(lam)
 
-    @partial(jax.jit, static_argnums=(0, 2, 3))
-    def _run_jit(self, v, iters, n):
-        apply = self.model.apply
-
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def _run_jit(self, operands, v, iters, n):
         def body(_, state):
             v, _ = state
-            w = _resize_like(apply(v), v)
+            w = _resize_like(self.model.apply_operands(operands, v), v)
             nrm = jnp.sqrt(jnp.sum(w[:n] * w[:n]))
             w = w / jnp.maximum(nrm, 1e-30)
             return w, nrm

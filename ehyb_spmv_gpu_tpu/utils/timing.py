@@ -93,14 +93,28 @@ def bench_apply(name: str, apply_iters: Callable[[int], jax.Array], nnz: int,
     ``fori_loop``.
     """
     jax.block_until_ready(apply_iters(warmup))
-    half = max(iters // 2, 1)
-    t0 = time.perf_counter()
-    jax.block_until_ready(apply_iters(half))
-    t_half = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.block_until_ready(apply_iters(half + iters))
-    t_full = time.perf_counter() - t0
-    dt = max(t_full - t_half, 1e-9)  # time of exactly `iters` device iterations
+
+    def measure(n_iters: int) -> float:
+        half = max(n_iters // 2, 1)
+        t0 = time.perf_counter()
+        jax.block_until_ready(apply_iters(half))
+        t_half = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(apply_iters(half + n_iters))
+        t_full = time.perf_counter() - t0
+        return max(t_full - t_half, 1e-9)
+
+    # Adaptive length: per-iteration times in the microseconds are invisible
+    # inside the remote-dispatch noise (±tens of ms through the tunnel), so
+    # grow the iteration count until the measured region is ≳50 ms, then take
+    # the best of two runs.
+    dt = measure(iters)
+    for _ in range(4):
+        if dt >= 0.05 or iters >= 1_000_000:
+            break
+        iters = min(iters * max(2, int(0.1 / max(dt, 1e-6) + 1)), 1_000_000)
+        dt = measure(iters)
+    dt = min(dt, measure(iters))
 
     gflops = 1e-9 * (2.0 * nnz) * iters / dt
     nnz_rate = nnz * iters / dt
