@@ -130,6 +130,11 @@ class EhybConfig:
     #: Multi-window layout: minimum entries a (slice, window) group needs to be
     #: packed into body tiles; smaller groups spill to the ER tail.
     min_window_group_nnz: int = 4
+    #: Multi-window layout: sliding (greedy, 128-row-aligned) x-window starts
+    #: instead of fixed 1024-aligned ones.  Only valid with the VMEM-resident
+    #: Pallas kernel (the windowed-BlockSpec fallback needs 1024 alignment);
+    #: None/False = fixed.  Set automatically by the flagship model.
+    sliding_windows: Optional[bool] = None
     #: Row-ordering strategy for the multi-window layout: 'auto' | 'natural' |
     #: 'rcm' | 'partition' (see core/ordering.py).  Windowed layouts always use
     #: 'partition' (the reference pipeline).

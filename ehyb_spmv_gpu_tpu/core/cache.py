@@ -50,6 +50,7 @@ def config_fingerprint(cfg: EhybConfig) -> str:
         "partitioner": cfg.partitioner, "imbalance": cfg.partition_imbalance,
         "body_layout": cfg.body_layout, "ordering": cfg.ordering,
         "min_window_group_nnz": cfg.min_window_group_nnz,
+        "sliding_windows": bool(cfg.sliding_windows),
         "dia": (cfg.dia_threshold, cfg.max_diagonals),
     }, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]

@@ -172,9 +172,37 @@ _TILE = 8
 _WSPAN = 1024
 
 
+def _assign_windows(sl: np.ndarray, ch: np.ndarray, sliding: bool
+                    ) -> np.ndarray:
+    """Per-entry x-window start (in 128-col chunks) for the multi-window body.
+
+    ``sliding=False``: windows are 1024-aligned (``ch//8*8``) — required by the
+    windowed (non-VMEM-resident) kernel's BlockSpec granularity.
+    ``sliding=True``: per-slice greedy cover with arbitrary 128-aligned starts
+    — the resident kernel selects windows per sub-tile with a dynamic sublane
+    slice, so only chunk alignment is needed.  For banded matrices (e.g. RCM
+    ordered) this halves the group count: a band straddling a 1024 boundary no
+    longer splits into two half-empty windows.
+    """
+    if not sliding:
+        return (ch // 8) * 8
+    NC = int(ch.max(initial=0)) + 1
+    key = sl * NC + ch
+    uniq = np.unique(key)
+    sl_u, ch_u = uniq // NC, uniq % NC
+    win_u = np.empty(uniq.shape[0], dtype=np.int64)
+    cur_s, cur_w = -1, -(1 << 60)
+    for i in range(uniq.shape[0]):          # O(unique (slice, chunk) pairs)
+        if sl_u[i] != cur_s or ch_u[i] >= cur_w + 8:
+            cur_s, cur_w = sl_u[i], ch_u[i]
+        win_u[i] = cur_w
+    return win_u[np.searchsorted(uniq, key)]
+
+
 def _sell_pack_multiwindow(row: np.ndarray, col: np.ndarray, val: np.ndarray,
                            n_rows_padded: int, slice_rows: int,
-                           config: EhybConfig, col_dtype, val_dtype):
+                           config: EhybConfig, col_dtype, val_dtype,
+                           sliding: bool = False):
     """Multi-window chunk-synchronized SELL packing.
 
     The key generalization over the partition-window formats: each 8-step tile
@@ -192,12 +220,12 @@ def _sell_pack_multiwindow(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     """
     C = slice_rows
     n_slices = max(1, cdiv(n_rows_padded, C))
-    NW = max(1, cdiv(int(col.max(initial=0)) + 1, _WSPAN))
 
     sl = row // C
     lane = row - sl * C
-    wid = col // _WSPAN
-    gkey = sl * NW + wid
+    wc = _assign_windows(sl, col // 128, sliding)  # window start, in chunks
+    NW = int(wc.max(initial=0)) + 1
+    gkey = sl * NW + wc
     uniq, ginv, gcount = np.unique(gkey, return_inverse=True,
                                    return_counts=True)
     keep = gcount >= max(1, config.min_window_group_nnz)
@@ -217,14 +245,14 @@ def _sell_pack_multiwindow(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     kmap[keep] = np.arange(K)
     kidx_all = kmap[ginv]            # per-entry compact group id (-1 = ER)
     g_sl = (uniq[keep] // NW).astype(np.int64)
-    g_w = (uniq[keep] % NW).astype(np.int64)
+    g_wc = (uniq[keep] % NW).astype(np.int64)    # window start chunk
 
     b = body_mask
     kidx = kidx_all[b]
     lane_b = lane[b]
-    chunk_b = (col[b] % _WSPAN) // 128           # ∈ [0, 8)
+    chunk_b = col[b] // 128 - wc[b]              # local chunk ∈ [0, 8)
     val_b = val[b]
-    lcol_b = (col[b] % _WSPAN).astype(np.int64)  # window-local column
+    lcol_b = (col[b] - wc[b] * 128).astype(np.int64)  # window-local column
 
     # per (group, lane, chunk) counts → per-(group, chunk) widths
     key2 = (kidx * C + lane_b) * 8 + chunk_b
@@ -261,7 +289,7 @@ def _sell_pack_multiwindow(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     spans = np.repeat(np.arange(K), gwp)
     pos = np.arange(spans.shape[0]) - np.repeat(np.cumsum(gwp) - gwp, gwp)
     step_idx = grp_step[spans] + pos
-    step_win[step_idx] = g_w[spans] * _WSPAN
+    step_win[step_idx] = g_wc[spans] * 128
 
     step_chunk = np.zeros(total_steps, dtype=np.int64)
     for c in range(8):
@@ -416,7 +444,8 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         # (slice, window) group; re-derive the masks from its decision.
         (ell_col, ell_val, slice_offset, step_win_mw, waste_ell,
          body_mask) = _sell_pack_multiwindow(
-            row, col, val, n_rows_padded, C, config, cdt, vdt)
+            row, col, val, n_rows_padded, C, config, cdt, vdt,
+            sliding=bool(config.sliding_windows))
         er_mask = ~body_mask
         er_counts = np.bincount(row[er_mask], minlength=dim)
         long_row_mask_per_row = er_counts > config.long_row_threshold

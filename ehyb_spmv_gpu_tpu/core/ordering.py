@@ -121,13 +121,15 @@ def estimate_cost(row_new: np.ndarray, col_new: np.ndarray, dim: int,
         rest = ~is_dia[d + (dim - 1)]
         row_new, col_new = row_new[rest], col_new[rest]
     steps = estimate_mw_steps(row_new, col_new, dim, config.slice_rows,
-                              config.min_window_group_nnz)
+                              config.min_window_group_nnz,
+                              sliding=bool(config.sliding_windows))
     return (n_dia * cdiv(dim, 1024) * _CYC_DIA_VREG
             + steps / 8.0 * _CYC_SELL_VREG)
 
 
 def estimate_mw_steps(row_new: np.ndarray, col_new: np.ndarray, dim: int,
-                      slice_rows: int = 128, min_group_nnz: int = 4) -> int:
+                      slice_rows: int = 128, min_group_nnz: int = 4,
+                      sliding: bool = False) -> int:
     """Packed width-steps the multi-window layout would need under a given
     ordering (rows/cols already permuted) — the body's streamed-bytes proxy.
 
@@ -135,11 +137,13 @@ def estimate_mw_steps(row_new: np.ndarray, col_new: np.ndarray, dim: int,
     Σ_c max_lane count, tile-padded; rejected-group entries charged at one
     step per 128 (they would stream through the ER tail).
     """
+    from ..core.convert import _assign_windows
+
     C = slice_rows
-    NW = max(1, cdiv(dim, _WSPAN))
     sl = row_new // C
-    wid = col_new // _WSPAN
-    gkey = sl * NW + wid
+    wc = _assign_windows(sl, col_new // 128, sliding)
+    NW = int(wc.max(initial=0)) + 1
+    gkey = sl * NW + wc
     uniq, ginv, gcount = np.unique(gkey, return_inverse=True,
                                    return_counts=True)
     keep = gcount >= min_group_nnz
@@ -152,7 +156,7 @@ def estimate_mw_steps(row_new: np.ndarray, col_new: np.ndarray, dim: int,
     kmap[keep] = np.arange(K)
     kidx = kmap[ginv][body]
     lane = (row_new % C)[body]
-    ch = ((col_new % _WSPAN) // 128)[body]
+    ch = (col_new // 128 - wc)[body]  # window-local chunk ∈ [0, 8)
     cnt = np.bincount((kidx * C + lane) * 8 + ch, minlength=K * C * 8)
     w_kc = cnt.reshape(K, C, 8).max(axis=1)
     gw = w_kc.sum(axis=1)

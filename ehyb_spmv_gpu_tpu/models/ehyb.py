@@ -173,10 +173,19 @@ class EhybSpmv(EhybXlaSpmv):
             idx_dtype = self.config.index_dtype
             if idx_dtype == "int32" and WINDOW_ALIGN <= 32768:
                 idx_dtype = "int16"
+            # Sliding 128-aligned windows need the VMEM-resident kernel (the
+            # windowed-BlockSpec fallback requires 1024-aligned windows).
+            from ..ops.ehyb_pallas import X_RESIDENT_BYTES
+
+            sliding = self.config.sliding_windows
+            if sliding is None:
+                x_bytes = (round_up(m.dimension, LANES) + WINDOW_ALIGN) \
+                    * np.dtype(self.config.dtype).itemsize
+                sliding = x_bytes <= X_RESIDENT_BYTES
             self.config = dataclasses.replace(
                 self.config, window_rows=WINDOW_ALIGN, body_layout=layout,
                 width_align=SUBTILES * TILE_STEPS, index_dtype=idx_dtype,
-                features=feats)
+                sliding_windows=sliding, features=feats)
         super().setup(m)
         self._use_pallas = bool(mode)
         if self._use_pallas:
