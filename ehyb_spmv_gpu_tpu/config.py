@@ -128,8 +128,10 @@ class EhybConfig:
     #: two-stage-gather kernel (see convert._sell_pack_chunk_sync).
     body_layout: str = "sell"
     #: Multi-window layout: minimum entries a (slice, window) group needs to be
-    #: packed into body tiles; smaller groups spill to the ER tail.
-    min_window_group_nnz: int = 4
+    #: packed into body tiles; smaller groups spill to the ER tail.  Measured
+    #: break-even on v5e: a kept group costs ≤8 width-steps (~22 VPU cyc), an
+    #: ER element ~14 cyc through the XLA global gather → keep groups of ≥2.
+    min_window_group_nnz: int = 2
     #: Multi-window layout: sliding (greedy, 128-row-aligned) x-window starts
     #: instead of fixed 1024-aligned ones.  Only valid with the VMEM-resident
     #: Pallas kernel (the windowed-BlockSpec fallback needs 1024 alignment);

@@ -96,6 +96,10 @@ def reordering_from_order(new_to_old: np.ndarray, dim: int,
 #: SELL two-stage dynamic_gather body (see scripts/profile_kernel.py).
 _CYC_DIA_VREG = 4.0
 _CYC_SELL_VREG = 22.0
+#: Measured XLA global-gather ER cost per ELEMENT on v5e (~65M elem/s ≈ 14
+#: cycles each — the TPU gather wall; see git history "ER-everything" probe).
+#: In body width-steps: one 128-entry ER step ≈ 14·128 / (22/8) cyc-per-step.
+_ER_STEP_EQUIV = 14.0 * 128.0 / (_CYC_SELL_VREG / 8.0)
 
 
 def estimate_cost(row_new: np.ndarray, col_new: np.ndarray, dim: int,
@@ -149,7 +153,9 @@ def estimate_mw_steps(row_new: np.ndarray, col_new: np.ndarray, dim: int,
     keep = gcount >= min_group_nnz
     body = keep[ginv]
     K = int(keep.sum())
-    er_steps = cdiv(int((~body).sum()), C)
+    # ER entries are charged at the measured global-gather rate, expressed in
+    # equivalent body width-steps so the return value stays one number.
+    er_steps = int(((~body).sum() / C) * _ER_STEP_EQUIV)
     if K == 0:
         return er_steps
     kmap = np.full(uniq.shape[0], -1, dtype=np.int64)
