@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pin the JAX platform")
     p.add_argument("--json", action="store_true",
                    help="emit a single JSON result line")
+    p.add_argument("--profile", action="store_true",
+                   help="print the per-phase roofline audit; with --trace-dir "
+                        "also capture a jax.profiler trace")
+    p.add_argument("--trace-dir", default=None,
+                   help="directory for the jax.profiler trace (Perfetto/"
+                        "TensorBoard)")
     p.add_argument("--list-corpus", action="store_true",
                    help="list generator corpus names and exit")
     return p
@@ -140,6 +146,20 @@ def main(argv=None) -> int:
                       nnz=m.nnz, iters=args.iters, warmup=args.warmup,
                       bytes_model=bm)
     print(res)
+
+    if args.profile:
+        from ehyb_spmv_gpu_tpu.utils.profiling import roofline_report, trace
+
+        if stats is not None:
+            vb = np.dtype(cfg.dtype).itemsize
+            ib = np.dtype(cfg.index_dtype).itemsize
+            print(roofline_report(stats.stats, value_bytes=vb, index_bytes=ib,
+                                  result=res))
+        if args.trace_dir:
+            import jax
+
+            with trace(args.trace_dir):
+                jax.block_until_ready(model.iterate(x_dev, 20))
 
     if args.json:
         print(json.dumps({
