@@ -440,16 +440,29 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
     n_rows_padded = round_up(max(dim, 1), C)
     step_win_mw = None
     if config.body_layout == "sell_mw":
+        # Pathologically dense rows go to the long-row stream BEFORE packing
+        # (the reference extracts long rows before building ELL widths,
+        # convert.c:92-101): one such row would otherwise set its slice's
+        # per-chunk widths and blow up the padding for 127 neighbors.
+        row_counts = np.bincount(row, minlength=dim) if row.size else \
+            np.zeros(dim, dtype=np.int64)
+        long_pre_per_row = row_counts > config.long_row_threshold
+        long_pre = long_pre_per_row[row] if row.size else \
+            np.zeros(0, dtype=bool)
+        body_in = ~long_pre
         # Multi-window: the packer itself decides body vs ER per
         # (slice, window) group; re-derive the masks from its decision.
         (ell_col, ell_val, slice_offset, step_win_mw, waste_ell,
-         body_mask) = _sell_pack_multiwindow(
-            row, col, val, n_rows_padded, C, config, cdt, vdt,
-            sliding=bool(config.sliding_windows))
-        er_mask = ~body_mask
+         body_mask_in) = _sell_pack_multiwindow(
+            row[body_in], col[body_in], val[body_in], n_rows_padded, C,
+            config, cdt, vdt, sliding=bool(config.sliding_windows))
+        body_mask = np.zeros(row.shape[0], dtype=bool)
+        body_mask[body_in] = body_mask_in
+        er_mask = ~body_mask & ~long_pre
         er_counts = np.bincount(row[er_mask], minlength=dim)
-        long_row_mask_per_row = er_counts > config.long_row_threshold
-        is_long_entry = er_mask & long_row_mask_per_row[row]
+        long_row_mask_per_row = (er_counts > config.long_row_threshold) \
+            | long_pre_per_row
+        is_long_entry = (er_mask & long_row_mask_per_row[row]) | long_pre
         er_only = er_mask & ~long_row_mask_per_row[row]
         in_win = body_mask
     elif config.body_layout == "sell_cs":
