@@ -120,38 +120,53 @@ def read_mtx(path_or_file: Union[str, IO], expand_symmetry: bool = True) -> Matr
         if close:
             f.close()
 
-    # Strip any trailing comment lines (rare but legal).
-    if "%" in body:
-        body = "\n".join(ln for ln in body.splitlines()
-                         if ln.strip() and not ln.lstrip().startswith("%"))
-
-    if header.field == "pattern":
-        data = np.fromiter((float(t) for t in body.split()), dtype=np.float64)
-        if data.size != header.n_entries * 2:
-            raise MtxError(
-                f"expected {header.n_entries} (i j) pairs, got {data.size} tokens")
-        data = data.reshape(-1, 2)
-        row = data[:, 0].astype(np.int64) - 1
-        col = data[:, 1].astype(np.int64) - 1
-        val = np.ones(row.shape[0], dtype=np.float64)
-    else:
-        data = np.fromiter((float(t) for t in body.split()), dtype=np.float64)
-        if data.size != header.n_entries * 3:
-            raise MtxError(
-                f"expected {header.n_entries} (i j v) triples, got {data.size} tokens")
-        data = data.reshape(-1, 3)
-        row = data[:, 0].astype(np.int64) - 1
-        col = data[:, 1].astype(np.int64) - 1
-        val = data[:, 2].copy()
+    row, col, val = _parse_entries(body, header)
 
     if expand_symmetry and (header.is_symmetric or header.is_skew):
         off = row != col
         sign = -1.0 if header.is_skew else 1.0
-        row = np.concatenate([row, col[off]])
-        col = np.concatenate([col, data[:, 0].astype(np.int64)[off] - 1])
-        val = np.concatenate([val, sign * val[off]])
+        row, col, val = (np.concatenate([row, col[off]]),
+                         np.concatenate([col, row[off]]),
+                         np.concatenate([val, sign * val[off]]))
 
     return MatrixCOO(header.n_rows, header.n_cols, row, col, val)
+
+
+def _parse_entries(body: str, header: MtxHeader):
+    """Parse the entry lines → 0-based (row, col, val).
+
+    Fast path: the native C++ scanner (``native/mtxparse.cpp``) — the
+    reference parses entries with fscanf at C speed (``solver_test.c:196-206``)
+    and so do we (231M tokens for audikw_1-class files).  Fallback: NumPy
+    token parse (e.g. if g++ is unavailable).
+    """
+    has_value = header.field != "pattern"
+    try:
+        from ..native import parse_entries_native
+
+        row1, col1, val = parse_entries_native(
+            body.encode("ascii", errors="replace"), header.n_entries, has_value)
+        return row1 - 1, col1 - 1, val
+    except ValueError as exc:
+        raise MtxError(str(exc)) from exc
+    except Exception:
+        pass  # native unavailable → NumPy fallback
+
+    # Strip any trailing comment lines (rare but legal).
+    if "%" in body:
+        body = "\n".join(ln for ln in body.splitlines()
+                         if ln.strip() and not ln.lstrip().startswith("%"))
+    width = 3 if has_value else 2
+    data = np.fromiter((float(t) for t in body.split()), dtype=np.float64)
+    if data.size != header.n_entries * width:
+        raise MtxError(f"expected {header.n_entries} entries of {width} "
+                       f"fields, got {data.size} tokens")
+    data = data.reshape(-1, width)
+    row = data[:, 0].astype(np.int64) - 1
+    col = data[:, 1].astype(np.int64) - 1
+    val = (data[:, 2].copy() if has_value
+           else np.ones(row.shape[0], dtype=np.float64))
+    return row, col, val
 
 
 def write_mtx(path: str, m: MatrixCOO, symmetry: str = "general",

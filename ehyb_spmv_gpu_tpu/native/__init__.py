@@ -21,25 +21,31 @@ _SRC = os.path.join(_HERE, "partition.cpp")
 _LIB = os.path.join(_HERE, "libehybpart.so")
 _lock = threading.Lock()
 _lib = None
+_iolib = None
 
 
 class NativeBuildError(RuntimeError):
     pass
 
 
-def build_native(force: bool = False) -> str:
-    """Compile partition.cpp → libehybpart.so (cached by mtime)."""
+def _compile(src: str, lib: str, force: bool = False) -> str:
+    """Compile one C++ source → shared lib (cached by mtime)."""
     with _lock:
-        if (not force and os.path.exists(_LIB)
-                and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
-            return _LIB
+        if (not force and os.path.exists(lib)
+                and os.path.getmtime(lib) >= os.path.getmtime(src)):
+            return lib
         cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
-               "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
+               "-fPIC", "-std=c++17", "-o", lib, src]
         proc = subprocess.run(cmd, capture_output=True, text=True)
         if proc.returncode != 0:
             raise NativeBuildError(
                 f"g++ failed ({proc.returncode}):\n{proc.stderr}")
-        return _LIB
+        return lib
+
+
+def build_native(force: bool = False) -> str:
+    """Compile partition.cpp → libehybpart.so (cached by mtime)."""
+    return _compile(_SRC, _LIB, force)
 
 
 def _load():
@@ -79,3 +85,46 @@ def kway_partition_native(xadj: np.ndarray, adjncy: np.ndarray, n_parts: int,
     if cut < 0:
         raise RuntimeError(f"native partitioner failed (code {cut})")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Native mtx entry parser (data-loader; see mtxparse.cpp).
+# ---------------------------------------------------------------------------
+
+def _load_io():
+    global _iolib
+    if _iolib is not None:
+        return _iolib
+    path = _compile(os.path.join(_HERE, "mtxparse.cpp"),
+                    os.path.join(_HERE, "libehybio.so"))
+    lib = ctypes.CDLL(path)
+    lib.ehyb_parse_entries.restype = ctypes.c_longlong
+    lib.ehyb_parse_entries.argtypes = [
+        ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.float64, flags="C"),
+    ]
+    _iolib = lib
+    return lib
+
+
+def parse_entries_native(body: bytes, n_entries: int, has_value: bool):
+    """Parse `.mtx` coordinate entries with the C++ scanner.
+
+    Returns (row, col, val) 1-based int64/int64/float64 arrays of length
+    exactly ``n_entries``.  Raises ValueError on malformed/miscounted input.
+    """
+    lib = _load_io()
+    row = np.empty(n_entries, dtype=np.int64)
+    col = np.empty(n_entries, dtype=np.int64)
+    val = np.empty(n_entries if has_value else 1, dtype=np.float64)
+    n = lib.ehyb_parse_entries(body, len(body), 3 if has_value else 2,
+                               n_entries, row, col, val)
+    if n < 0:
+        raise ValueError(f"native mtx parse failed (code {n})")
+    if n != n_entries:
+        raise ValueError(f"expected {n_entries} entries, parsed {n}")
+    if not has_value:
+        val = np.ones(n_entries, dtype=np.float64)
+    return row, col, val
