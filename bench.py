@@ -61,15 +61,23 @@ def run_model(model_name: str, matrix_name: str, iters: int) -> int:
         raise RuntimeError(f"{model_name} validation failed: {err}")
     x_dev = model.prepare_x(x)
     e = getattr(model, "ehyb", None)
-    bm = (spmv_bytes_model(e.stats, dim=m.dimension)
-          if e is not None else m.nnz * 8 + 2 * m.dimension * 4)
+    if e is not None:
+        import numpy as np
+
+        # model.config is authoritative (EhybSpmv swaps in int16 columns).
+        vb = np.dtype(model.config.dtype).itemsize
+        ib = np.dtype(model.config.index_dtype).itemsize
+        bm = spmv_bytes_model(e.stats, value_bytes=vb, ell_index_bytes=ib,
+                              dim=m.dimension)
+    else:
+        bm = m.nnz * 8 + 2 * m.dimension * 4
     res = bench_apply(model_name, lambda n: model.iterate(x_dev, n),
                       nnz=m.nnz, iters=iters, warmup=10, bytes_model=bm)
     print(RESULT_TAG + json.dumps({
         "model": model_name, "gflops": res.gflops, "seconds": res.seconds,
         "rel_error": err, "roofline_gflops": res.roofline_gflops,
         "roofline_frac": res.roofline_frac, "bytes_model": res.bytes_model,
-        "nnz": m.nnz}), flush=True)
+        "nnz": m.nnz, "backend": jax.default_backend()}), flush=True)
     return 0
 
 
@@ -122,7 +130,7 @@ def main() -> int:
         f"| baseline[{baseline['model'] if baseline else '-'}] "
         f"{baseline['gflops'] if baseline else float('nan'):.2f} → {vs:.2f}x")
     print(json.dumps({
-        "metric": f"spmv_gflops_{matrix}_tpu",
+        "metric": f"spmv_gflops_{matrix}_{flagship.get('backend', 'tpu')}",
         "value": round(flagship["gflops"], 3),
         "unit": "GFLOP/s",
         "vs_baseline": round(vs, 3),

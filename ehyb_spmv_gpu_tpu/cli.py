@@ -139,8 +139,12 @@ def main(argv=None) -> int:
     # --- timed loop (spmv.cu:100-122 protocol) ---
     x_dev = model.prepare_x(x)
     stats = getattr(model, "ehyb", None)
-    bm = spmv_bytes_model(stats.stats, dim=m.dimension) if stats is not None \
-        else m.nnz * 8 + 2 * m.dimension * 4
+    # model.config is authoritative (the flagship swaps in int16 columns).
+    mcfg = model.config
+    bm = spmv_bytes_model(stats.stats, dim=m.dimension,
+                          value_bytes=np.dtype(mcfg.dtype).itemsize,
+                          ell_index_bytes=np.dtype(mcfg.index_dtype).itemsize) \
+        if stats is not None else m.nnz * 8 + 2 * m.dimension * 4
     res = bench_apply(f"{args.model}:{name}",
                       lambda n: model.iterate(x_dev, n),
                       nnz=m.nnz, iters=args.iters, warmup=args.warmup,
@@ -151,10 +155,10 @@ def main(argv=None) -> int:
         from ehyb_spmv_gpu_tpu.utils.profiling import roofline_report, trace
 
         if stats is not None:
-            vb = np.dtype(cfg.dtype).itemsize
-            ib = np.dtype(cfg.index_dtype).itemsize
+            vb = np.dtype(mcfg.dtype).itemsize
+            ib = np.dtype(mcfg.index_dtype).itemsize
             print(roofline_report(stats.stats, value_bytes=vb, index_bytes=ib,
-                                  result=res))
+                                  result=res, dim=m.dimension))
         if args.trace_dir:
             import jax
 

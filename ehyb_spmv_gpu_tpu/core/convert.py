@@ -189,6 +189,11 @@ def _assign_windows(sl: np.ndarray, ch: np.ndarray, sliding: bool
     NC = int(ch.max(initial=0)) + 1
     key = sl * NC + ch
     uniq = np.unique(key)
+    if uniq.shape[0] > 4_000_000:
+        # Scattered at scale: the greedy scan is a Python loop over unique
+        # (slice, chunk) pairs, and sliding starts buy nothing when chunks
+        # are unclustered — fall back to fixed 1024-aligned windows.
+        return (ch // 8) * 8
     sl_u, ch_u = uniq // NC, uniq % NC
     win_u = np.empty(uniq.shape[0], dtype=np.int64)
     cur_s, cur_w = -1, -(1 << 60)

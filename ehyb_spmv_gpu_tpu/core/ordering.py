@@ -134,12 +134,15 @@ def estimate_cost(row_new: np.ndarray, col_new: np.ndarray, dim: int,
 def estimate_mw_steps(row_new: np.ndarray, col_new: np.ndarray, dim: int,
                       slice_rows: int = 128, min_group_nnz: int = 4,
                       sliding: bool = False) -> int:
-    """Packed width-steps the multi-window layout would need under a given
-    ordering (rows/cols already permuted) — the body's streamed-bytes proxy.
+    """Device-cost estimate in *body-width-step equivalents* for the
+    multi-window layout under a given ordering (rows/cols already permuted).
 
     Counting only (no scatter): Σ over kept (slice, window) groups of
-    Σ_c max_lane count, tile-padded; rejected-group entries charged at one
-    step per 128 (they would stream through the ER tail).
+    Σ_c max_lane count, tile-padded.  Rejected-group entries would stream
+    through the XLA global-gather ER tail, measured ~650x slower per step
+    than the body — they are charged at ``_ER_STEP_EQUIV`` step-equivalents
+    per 128 entries, so the return value is a relative cost, NOT a byte
+    count.  Compare values only against other calls of this function.
     """
     from ..core.convert import _assign_windows
 

@@ -147,10 +147,11 @@ def _parse_entries(body: str, header: MtxHeader):
         row1, col1, val = parse_entries_native(
             body.encode("ascii", errors="replace"), header.n_entries, has_value)
         return row1 - 1, col1 - 1, val
-    except ValueError as exc:
-        raise MtxError(str(exc)) from exc
     except Exception:
-        pass  # native unavailable → NumPy fallback
+        # Native unavailable OR it rejected the file (e.g. float-formatted
+        # indices the strict integer scanner refuses): the NumPy fallback
+        # below is the arbiter — it raises MtxError on genuinely bad input.
+        pass
 
     # Strip any trailing comment lines (rare but legal).
     if "%" in body:

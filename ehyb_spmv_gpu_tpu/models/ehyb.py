@@ -205,6 +205,7 @@ class EhybSpmv(EhybXlaSpmv):
                 dia_apply = make_dia_pallas_apply(
                     self.dev.dia_offsets, self.ehyb.dia_val.shape[1],
                     self.config.dtype, interpret=(mode == "interpret"))
+                self._dia_apply = dia_apply  # introspection (phase_breakdown)
             self._pallas_apply = make_ehyb_pallas_apply(
                 self.ehyb, self.config, interpret=(mode == "interpret"),
                 dia_apply=dia_apply)

@@ -40,15 +40,14 @@ long long ehyb_parse_entries(const char* buf, long long len, int ncols,
         long long j = strtoll(p, &q, 10);
         if (q == p) return -2;
         p = q;
-        double v = 1.0;
-        if (ncols == 3) {
-            v = strtod(p, &q);
-            if (q == p) return -3;
-            p = q;
-        }
         row[n] = i;
         col[n] = j;
-        if (val) val[n] = v;
+        if (ncols == 3) {
+            double v = strtod(p, &q);
+            if (q == p) return -3;
+            p = q;
+            if (val) val[n] = v;  // val is n_entries long only when ncols==3
+        }
         ++n;
     }
     return n;

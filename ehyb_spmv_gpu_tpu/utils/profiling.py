@@ -55,15 +55,17 @@ class PhaseModel:
 
 def roofline_report(stats: Dict, value_bytes: int = 4,
                     index_bytes: int = 2,
-                    result: Optional[BenchResult] = None) -> str:
+                    result: Optional[BenchResult] = None,
+                    dim: int = 0) -> str:
     """Per-phase bytes/flops roofline model from converter stats.
 
     DIA streams values only; the SELL body streams values + window-local
     columns (padding included — zeros move bytes too); ER/long stream values +
-    int32 global columns.
+    int32 global columns; ``dim`` adds the x read + y write vector traffic
+    (same byte model as :func:`~.timing.spmv_bytes_model`).
     """
-    dim = stats.get("window_rows", 0) * stats.get("n_parts", 1)  # approx
     phases = [
+        PhaseModel("x/y vectors", 0, 2 * dim * value_bytes),
         PhaseModel("dia", 2 * stats.get("nnz_dia", 0),
                    (stats.get("nnz_dia", 0) + stats.get("waste_dia", 0))
                    * value_bytes),
@@ -111,8 +113,16 @@ def phase_breakdown(model, x_dev, iters: int = 100) -> Dict[str, float]:
     if dev is None:
         dev = model.dev
 
+    # The flagship may carry dia_val in the packed Pallas layout (3-D); use
+    # its own dia kernel then — ehyb_dia_xla expects the flat (K, dim) form.
+    dia_pallas = getattr(model, "_dia_apply", None)
+    if dia_pallas is not None and getattr(dev.dia_val, "ndim", 2) == 3:
+        dia_fn = lambda x: dia_pallas(dev.dia_val, x)  # noqa: E731
+    else:
+        dia_fn = lambda x: xla_ops.ehyb_dia_xla(dev, x)  # noqa: E731
+
     phases = {
-        "dia": lambda x: xla_ops.ehyb_dia_xla(dev, x),
+        "dia": dia_fn,
         "er": lambda x: xla_ops.ehyb_er_xla(dev, x),
         "long": lambda x: xla_ops.ehyb_long_xla(dev, x),
         "full_apply": lambda x: model.apply_operands(
@@ -130,14 +140,10 @@ def phase_breakdown(model, x_dev, iters: int = 100) -> Dict[str, float]:
             return jax.lax.fori_loop(0, n, step, jnp.asarray(0.0, x.dtype))
 
         try:
-            jax.block_until_ready(run(jnp.asarray(5, jnp.int32), x_dev))
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(jnp.asarray(iters // 2, jnp.int32), x_dev))
-            t1 = time.perf_counter()
-            jax.block_until_ready(run(jnp.asarray(iters // 2 + iters, jnp.int32),
-                                      x_dev))
-            t2 = time.perf_counter()
-            out[name] = max((t2 - t1) - (t1 - t0), 0.0) / iters
+            from .timing import measure_loop
+
+            out[name] = measure_loop(
+                lambda n: run(jnp.asarray(n, jnp.int32), x_dev), iters)
         except Exception as exc:  # pragma: no cover
             log.warning("phase %s failed: %s", name, exc)
             out[name] = float("nan")

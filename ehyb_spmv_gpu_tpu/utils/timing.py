@@ -78,6 +78,25 @@ def spmv_bytes_model(stats: dict, value_bytes: int = 4,
     return int(n_bytes)
 
 
+def measure_loop(apply_iters: Callable[[int], "jax.Array"], iters: int,
+                 warmup: int = 5) -> float:
+    """Seconds per device-side iteration of ``apply_iters(n)``.
+
+    The shared half-length-subtraction protocol: time n/2 and n/2+n runs and
+    difference them, removing the fixed remote-dispatch cost (which is tens of
+    ms through the axon tunnel and would otherwise swamp µs-scale kernels).
+    """
+    jax.block_until_ready(apply_iters(warmup))
+    half = max(iters // 2, 1)
+    t0 = time.perf_counter()
+    jax.block_until_ready(apply_iters(half))
+    t_half = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(apply_iters(half + iters))
+    t_full = time.perf_counter() - t0
+    return max(t_full - t_half, 1e-9) / iters
+
+
 def bench_apply(name: str, apply_iters: Callable[[int], jax.Array], nnz: int,
                 iters: int = 2000, warmup: int = 10,
                 bytes_model: Optional[int] = None) -> BenchResult:
@@ -95,14 +114,7 @@ def bench_apply(name: str, apply_iters: Callable[[int], jax.Array], nnz: int,
     jax.block_until_ready(apply_iters(warmup))
 
     def measure(n_iters: int) -> float:
-        half = max(n_iters // 2, 1)
-        t0 = time.perf_counter()
-        jax.block_until_ready(apply_iters(half))
-        t_half = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(apply_iters(half + n_iters))
-        t_full = time.perf_counter() - t0
-        return max(t_full - t_half, 1e-9)
+        return measure_loop(apply_iters, n_iters, warmup=0) * n_iters
 
     # Adaptive length: per-iteration times in the microseconds are invisible
     # inside the remote-dispatch noise (±tens of ms through the tunnel), so

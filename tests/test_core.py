@@ -152,3 +152,33 @@ def test_dense_row_injection():
     m = generate.random_general(500, 8, seed=1)
     md = generate.with_dense_rows(m, 3, density=0.9, seed=2)
     assert md.max_col() > 400
+
+
+def test_mtx_pattern_native_no_overflow(tmp_path):
+    """Regression: the native parser wrote val[n] for pattern files whose
+    Python-side val buffer was length 1 — heap overflow (code review)."""
+    import numpy as np
+    from ehyb_spmv_gpu_tpu.io import read_mtx
+
+    rng = np.random.default_rng(0)
+    n = 30000
+    p = tmp_path / "pat.mtx"
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n")
+        f.write(f"40000 40000 {n}\n")
+        for i, j in zip(rng.integers(1, 40001, n), rng.integers(1, 40001, n)):
+            f.write(f"{i} {j}\n")
+    m = read_mtx(str(p))
+    assert m.nnz == n and (m.val == 1.0).all()
+
+
+def test_mtx_float_indices_fallback(tmp_path):
+    """Files with float-formatted indices parse via the NumPy fallback after
+    the strict native scanner rejects them (code review)."""
+    from ehyb_spmv_gpu_tpu.io import read_mtx
+
+    p = tmp_path / "fl.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                 "3 3 2\n1.0 2.0 5.5\n3.0 1.0 -2.0\n")
+    m = read_mtx(str(p))
+    assert m.nnz == 2 and m.val[0] == 5.5 and m.row[1] == 2
