@@ -17,6 +17,7 @@ SURVEY.md §5).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -63,25 +64,59 @@ class CgSolver:
             self._minv = self.model.prepare_x(1.0 / diag)
 
     def solve(self, b: np.ndarray, tol: float = 1e-6, max_iters: int = 1000,
-              x0: Optional[np.ndarray] = None) -> CgResult:
+              x0: Optional[np.ndarray] = None,
+              checkpoint_every: Optional[int] = None,
+              checkpoint_path: Optional[str] = None) -> CgResult:
+        """Solve A·x = b.
+
+        With ``checkpoint_every``/``checkpoint_path``, the device loop runs in
+        segments of that many iterations and the solver state (x, iteration
+        count) is written to ``<checkpoint_path>`` after each segment — the
+        checkpoint/resume facility the reference lacks entirely (SURVEY.md §5).
+        If the file already exists, the solve RESUMES from it (restart-CG:
+        r/p are rebuilt from the checkpointed x, which is mathematically a
+        fresh CG warm-started at x — residual-monotone, slightly slower in
+        iterations than uninterrupted CG, robust to any interruption).
+        """
         m = self.model.m
         self._prepare(m)
         b_dev = self.model.prepare_x(b)
+        it_base = 0
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            z = np.load(checkpoint_path)
+            x0 = z["x"]
+            it_base = int(z["iterations"])
+            log.info("CG: resuming from %s (iteration %d)", checkpoint_path,
+                     it_base)
         x_dev = (self.model.prepare_x(x0) if x0 is not None
                  else jnp.zeros_like(b_dev))
         minv = self._minv if self._minv is not None else jnp.ones_like(b_dev)
         n = m.n_rows
+        tol2 = jnp.float32(tol * tol * _norm2_host(b))
+        operands = self.model.device_operands()
 
-        x_fin, it, res2 = self._solve_jit(
-            self.model.device_operands(), x_dev, b_dev, minv,
-            jnp.float32(tol * tol * _norm2_host(b)), max_iters, n)
-        x_host = self.model.recover_y(x_fin)
+        seg = checkpoint_every or max_iters
+        it_total = it_base
+        while True:
+            budget = min(seg, max_iters - it_total)
+            x_dev, it_seg, res2 = self._solve_jit(
+                operands, x_dev, b_dev, minv, tol2, budget, n)
+            it_total += int(it_seg)
+            if checkpoint_path:
+                tmp = checkpoint_path + ".tmp"
+                with open(tmp, "wb") as fh:   # write-then-rename: atomic
+                    np.savez(fh, x=self.model.recover_y(x_dev),
+                             iterations=it_total)
+                os.replace(tmp, checkpoint_path)
+            if int(it_seg) < budget or it_total >= max_iters:
+                break
+
+        x_host = self.model.recover_y(x_dev)
         res = float(np.sqrt(res2))
-        it = int(it)
         converged = res <= tol * max(np.linalg.norm(b), 1e-300)
-        log.info("CG: %d iterations, residual %.3e (%s)", it, res,
+        log.info("CG: %d iterations, residual %.3e (%s)", it_total, res,
                  "converged" if converged else "NOT converged")
-        return CgResult(x=x_host, iterations=it, residual_norm=res,
+        return CgResult(x=x_host, iterations=it_total, residual_norm=res,
                         converged=converged)
 
     @partial(jax.jit, static_argnums=(0, 6, 7))

@@ -61,3 +61,36 @@ def test_power_iteration_dominant_eig():
     v, lam = PowerIteration(model).run(iters=100)
     assert abs(lam - 5.0) < 1e-3
     assert abs(abs(v[7]) - 1.0) < 1e-2
+
+
+def test_cg_checkpoint_resume(tmp_path):
+    """Checkpoint/resume: interrupting after the first segment and re-solving
+    from the checkpoint reaches the same solution (SURVEY.md §5 gap)."""
+    import numpy as np
+    import ehyb_spmv_gpu_tpu as ehyb
+    from ehyb_spmv_gpu_tpu.config import EhybConfig
+    from ehyb_spmv_gpu_tpu.io import generate
+    from ehyb_spmv_gpu_tpu.models.solver import CgSolver
+
+    m = generate.poisson2d(24)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(m.dimension)
+    model = ehyb.MODELS["ehyb_xla"](EhybConfig(dtype="float64")).setup(m)
+    ckpt = str(tmp_path / "cg.npz")
+
+    # Segment 1: cap at 5 iterations total — writes a checkpoint, not converged.
+    r1 = CgSolver(model).solve(b, tol=1e-8, max_iters=5,
+                               checkpoint_every=5, checkpoint_path=ckpt)
+    assert not r1.converged
+    z = np.load(ckpt)
+    assert int(z["iterations"]) == 5
+
+    # Resume: picks up from the checkpoint and converges.
+    r2 = CgSolver(model).solve(b, tol=1e-8, max_iters=2000,
+                               checkpoint_every=50, checkpoint_path=ckpt)
+    assert r2.converged and r2.iterations > 5
+    want = np.zeros(m.dimension)
+    dense = np.zeros((m.dimension, m.dimension))
+    np.add.at(dense, (m.row, m.col), m.val)
+    # f32 compute (x64 disabled in the suite): modest tolerance
+    np.testing.assert_allclose(dense @ r2.x, b, rtol=0, atol=5e-4)
