@@ -85,16 +85,36 @@ def measure_loop(apply_iters: Callable[[int], "jax.Array"], iters: int,
     The shared half-length-subtraction protocol: time n/2 and n/2+n runs and
     difference them, removing the fixed remote-dispatch cost (which is tens of
     ms through the axon tunnel and would otherwise swamp µs-scale kernels).
+
+    Hardening (observed on the remote tunnel): the first timed call after a
+    compile can absorb hundreds of ms of post-compile residue, making
+    t_full − t_half go negative.  A settle run after warmup plus min-of-two
+    per measurement point (min is robust to additive noise spikes) fixes it.
     """
-    jax.block_until_ready(apply_iters(warmup))
     half = max(iters // 2, 1)
-    t0 = time.perf_counter()
-    jax.block_until_ready(apply_iters(half))
-    t_half = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.block_until_ready(apply_iters(half + iters))
-    t_full = time.perf_counter() - t0
-    return max(t_full - t_half, 1e-9) / iters
+
+    def run_and_read(n: int):
+        out = jax.block_until_ready(apply_iters(n))
+        # Device-to-host read of the result: on the remote tunnel,
+        # block_until_ready alone does not reliably force execution of
+        # repeated dispatches (observed elision in long-lived sessions);
+        # reading a value does.  The D2H cost is a constant inside both
+        # measurement points and cancels in the subtraction.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf).ravel()[:1]
+
+    run_and_read(warmup)
+    run_and_read(half)  # settle: absorb post-compile residue
+
+    def timed(n: int) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_and_read(n)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max(timed(half + iters) - timed(half), 1e-9) / iters
 
 
 def bench_apply(name: str, apply_iters: Callable[[int], jax.Array], nnz: int,
