@@ -119,7 +119,9 @@ def make_dia_pallas_apply(offsets: Sequence[int], dim_r: int, dtype,
     call = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, brows, LANES), np.dtype(dtype)),
-        cost_estimate=cost, interpret=interpret)
+        cost_estimate=cost, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))
 
     def apply(dval_packed: jax.Array, x_pad: jax.Array) -> jax.Array:
         # x_ext[j] = x[j + lo]  (zeros outside [0, len(x)))

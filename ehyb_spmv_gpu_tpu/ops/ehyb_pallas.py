@@ -56,8 +56,11 @@ SUBTILES = int(__import__("os").environ.get("EHYB_SUBTILES", "4"))
 #: Window rows of the x2d = x.reshape(-1, 128) view selected per sub-tile.
 WIN_ROWS = WINDOW_ALIGN // LANES  # 8
 #: Max bytes of x kept fully VMEM-resident (v2 kernel); beyond this the
-#: windowed-BlockSpec variant is used.
-X_RESIDENT_BYTES = 10 * 1024 * 1024
+#: windowed-BlockSpec variant is used.  Mosaic's default scoped-VMEM budget is
+#: 16 MB; the pallas_call raises it (v5e has 128 MB) so residency extends to
+#: ~6M-row vectors while leaving room for the streamed col/val double buffers.
+X_RESIDENT_BYTES = 24 * 1024 * 1024
+_VMEM_LIMIT = 34 * 1024 * 1024
 
 
 def _sell_body_kernel_resident(win_row_ref, tile_slice_ref, tile_first_ref,
@@ -200,7 +203,9 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
         body_call = pl.pallas_call(
             _sell_body_kernel_resident, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_slices, TILE_STEPS, LANES), vdt),
-            cost_estimate=cost, interpret=interpret)
+            cost_estimate=cost, interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT))
         kind = f"resident-x (T={SUBTILES})"
     else:
         if not np.all(e.step_win.astype(np.int64) % WINDOW_ALIGN == 0):
