@@ -167,9 +167,6 @@ def cdiv_arr(a: np.ndarray, b: int) -> np.ndarray:
 #: Width-steps per kernel tile; group widths pad to this (must match
 #: ops.ehyb_pallas.TILE_STEPS).
 _TILE = 8
-#: Native window span in rows (one (8, 128) x block — must match
-#: config.WINDOW_ALIGN for the Pallas BlockSpec granularity).
-_WSPAN = 1024
 
 
 def _assign_windows(sl: np.ndarray, ch: np.ndarray, sliding: bool
@@ -207,7 +204,9 @@ def _assign_windows(sl: np.ndarray, ch: np.ndarray, sliding: bool
 def _sell_pack_multiwindow(row: np.ndarray, col: np.ndarray, val: np.ndarray,
                            n_rows_padded: int, slice_rows: int,
                            config: EhybConfig, col_dtype, val_dtype,
-                           sliding: bool = False):
+                           sliding: bool = False,
+                           col_range: Tuple[Optional[int], Optional[int]]
+                           = (None, None)):
     """Multi-window chunk-synchronized SELL packing.
 
     The key generalization over the partition-window formats: each 8-step tile
@@ -228,17 +227,21 @@ def _sell_pack_multiwindow(row: np.ndarray, col: np.ndarray, val: np.ndarray,
 
     sl = row // C
     lane = row - sl * C
-    wc = _assign_windows(sl, col // 128, sliding)  # window start, in chunks
-    NW = int(wc.max(initial=0)) + 1
-    gkey = sl * NW + wc
-    uniq, ginv, gcount = np.unique(gkey, return_inverse=True,
-                                   return_counts=True)
-    keep = gcount >= max(1, config.min_window_group_nnz)
-    body_mask = keep[ginv]
 
-    K = int(keep.sum())
-    if K == 0:
-        # Degenerate: everything spills to ER; emit one dummy tile per slice.
+    # Entries with columns outside col_range cannot be represented by any
+    # in-range window (the sharded converter passes device-local coordinates
+    # bounded by the ±W halo; anything further off-device must go to the
+    # globally-gathered ER tail).
+    lo_c, hi_c = col_range
+    valid = np.ones(row.shape[0], dtype=bool)
+    if lo_c is not None:
+        valid &= col >= lo_c
+    if hi_c is not None:
+        valid &= col < hi_c
+
+    body_mask = np.zeros(row.shape[0], dtype=bool)
+
+    def degenerate():
         slice_offset = (np.arange(n_slices + 1) * _TILE).astype(np.int32)
         total = n_slices * _TILE
         return (np.zeros((total, C), dtype=col_dtype),
@@ -246,23 +249,55 @@ def _sell_pack_multiwindow(row: np.ndarray, col: np.ndarray, val: np.ndarray,
                 slice_offset, np.zeros(total, dtype=np.int32),
                 total * C, body_mask)
 
+    if not valid.any():
+        return degenerate()
+
+    # Window assignment (chunks may be negative in shard-local coordinates:
+    # shift to 0-based for the greedy/bincount machinery, shift back after).
+    ch_v = col[valid] // 128
+    ch_min = min(int(ch_v.min(initial=0)), 0)
+    wc_v = _assign_windows(sl[valid], ch_v - ch_min, sliding) + ch_min
+    wc = np.zeros(row.shape[0], dtype=np.int64)
+    wc[valid] = wc_v
+    wc_min = min(int(wc_v.min(initial=0)), 0)
+    NW = int(wc_v.max(initial=0)) - wc_min + 1
+    gkey_v = sl[valid] * NW + (wc_v - wc_min)
+    uniq, ginv, gcount = np.unique(gkey_v, return_inverse=True,
+                                   return_counts=True)
+    keep = gcount >= max(1, config.min_window_group_nnz)
+    body_mask[valid] = keep[ginv]
+
+    K = int(keep.sum())
+    if K == 0:
+        return degenerate()  # everything spills to ER
+
     kmap = np.full(uniq.shape[0], -1, dtype=np.int64)
     kmap[keep] = np.arange(K)
-    kidx_all = kmap[ginv]            # per-entry compact group id (-1 = ER)
+    kidx_valid = kmap[ginv]          # per-valid-entry compact group (-1 = ER)
     g_sl = (uniq[keep] // NW).astype(np.int64)
-    g_wc = (uniq[keep] % NW).astype(np.int64)    # window start chunk
+    g_wc = (uniq[keep] % NW).astype(np.int64) + wc_min  # window start chunk
 
     b = body_mask
-    kidx = kidx_all[b]
+    kidx = kidx_valid[keep[ginv]]    # per-body-entry compact group id
     lane_b = lane[b]
     chunk_b = col[b] // 128 - wc[b]              # local chunk ∈ [0, 8)
     val_b = val[b]
     lcol_b = (col[b] - wc[b] * 128).astype(np.int64)  # window-local column
 
-    # per (group, lane, chunk) counts → per-(group, chunk) widths
+    # Per-(group, lane, chunk) counts → per-(group, chunk) widths.  Counted
+    # sparsely over sorted keys: a dense bincount would be K·C·8 cells — tens
+    # of GB when min_window_group_nnz keeps millions of small groups.
     key2 = (kidx * C + lane_b) * 8 + chunk_b
-    cnt = np.bincount(key2, minlength=K * C * 8).reshape(K, C, 8)
-    w_kc = cnt.max(axis=1).astype(np.int64)      # (K, 8)
+    order = np.argsort(key2, kind="stable")
+    key_s = key2[order]
+    new_run = np.empty(key_s.shape[0], dtype=bool)
+    new_run[0] = True
+    np.not_equal(key_s[1:], key_s[:-1], out=new_run[1:])
+    run_start = np.flatnonzero(new_run)
+    run_len = np.diff(np.append(run_start, key_s.shape[0]))
+    u = key_s[run_start]
+    w_kc = np.zeros((K, 8), dtype=np.int64)
+    np.maximum.at(w_kc, (u // (C * 8), u % 8), run_len)
     gw = w_kc.sum(axis=1)
     gwp = cdiv_arr(gw, _TILE) * _TILE            # whole tiles per group
 
@@ -298,22 +333,20 @@ def _sell_pack_multiwindow(row: np.ndarray, col: np.ndarray, val: np.ndarray,
 
     step_chunk = np.zeros(total_steps, dtype=np.int64)
     for c in range(8):
-        wc = w_kc[:, c]
-        sel = np.repeat(np.arange(K), wc)            # group of each painted step
+        wcc = w_kc[:, c]
+        sel = np.repeat(np.arange(K), wcc)           # group of each painted step
         intra = (np.arange(sel.shape[0], dtype=np.int64)
-                 - np.repeat(np.cumsum(wc) - wc, wc))  # 0..wc-1 within region
+                 - np.repeat(np.cumsum(wcc) - wcc, wcc))  # 0..w-1 within region
         step_chunk[grp_step[sel] + choff[sel, c] + intra] = c
 
     col_arr = np.broadcast_to((step_chunk * 128)[:, None],
                               (total_steps, C)).astype(col_dtype).copy()
     val_arr = np.zeros((total_steps, C), dtype=val_dtype)
 
-    # Scatter entries: rank within (group, lane, chunk).
-    order = np.argsort(key2, kind="stable")
-    key_s = key2[order]
-    key_ptr = np.zeros(K * C * 8 + 1, dtype=np.int64)
-    np.cumsum(cnt.reshape(-1), out=key_ptr[1:])
-    rank = np.arange(key_s.shape[0], dtype=np.int64) - key_ptr[key_s]
+    # Scatter entries: rank within (group, lane, chunk) = position inside the
+    # sorted key run (order/run_start computed with the widths above).
+    rank = (np.arange(key_s.shape[0], dtype=np.int64)
+            - np.repeat(run_start, run_len))
     kidx_s = kidx[order]
     lane_s = lane_b[order]
     chunk_s = chunk_b[order]
@@ -396,13 +429,17 @@ def extract_diagonals(row: np.ndarray, col: np.ndarray, val: np.ndarray,
 def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
                  boundaries: np.ndarray, window_rows: int, n_parts: int,
                  config: EhybConfig, nnz_label: int = -1,
-                 dia_off_range: Optional[Tuple[int, int]] = None) -> EhybMatrix:
+                 dia_off_range: Optional[Tuple[int, int]] = None,
+                 body_col_range: Tuple[Optional[int], Optional[int]]
+                 = (None, None)) -> EhybMatrix:
     """Core conversion on raw triples.
 
     Row indices must lie in [0, dim); ``boundaries`` partitions the row space.
     Column indices may lie outside [0, dim) (the multi-chip shard converter
     passes device-local column coordinates, where off-device columns are
-    negative or beyond the local range — they simply classify as out-of-window).
+    negative or beyond the local range — they classify as out-of-window, or,
+    for the multi-window layout, are forced to the ER tail by
+    ``body_col_range`` since no in-range x window can cover them).
     """
     W = window_rows
     C = config.slice_rows
@@ -427,23 +464,25 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         rest = ~dia_keep
         row, col, val = row[rest], col[rest], val[rest]
 
-    # --- 1. classification -------------------------------------------------
+    # --- 1+2. classification + SELL body ------------------------------------
     # (With features.cache off, models pass a single-partition plan whose window
     # spans the matrix, so everything lands in-window with win_start = 0 and the
-    # format degenerates to plain HYB — no special case needed here.)
-    part_of_row = np.searchsorted(boundaries, row, side="right") - 1
-    win_start = boundaries[part_of_row]
-    in_win = (col >= win_start) & (col < win_start + W)
-
-    er_mask = ~in_win
-    er_counts = np.bincount(row[er_mask], minlength=dim)
-    long_row_mask_per_row = er_counts > config.long_row_threshold  # [dim]
-    is_long_entry = er_mask & long_row_mask_per_row[row]
-    er_only = er_mask & ~long_row_mask_per_row[row]
-
-    # --- 2. SELL body ------------------------------------------------------
+    # format degenerates to plain HYB — no special case needed here.  The
+    # multi-window layout classifies inside the packer instead, so the
+    # partition-window pass only runs for the windowed layouts.)
     n_rows_padded = round_up(max(dim, 1), C)
     step_win_mw = None
+    if config.body_layout != "sell_mw":
+        part_of_row = np.searchsorted(boundaries, row, side="right") - 1
+        win_start = boundaries[part_of_row]
+        in_win = (col >= win_start) & (col < win_start + W)
+
+        er_mask = ~in_win
+        er_counts = np.bincount(row[er_mask], minlength=dim)
+        long_row_mask_per_row = er_counts > config.long_row_threshold  # [dim]
+        is_long_entry = er_mask & long_row_mask_per_row[row]
+        er_only = er_mask & ~long_row_mask_per_row[row]
+
     if config.body_layout == "sell_mw":
         # Pathologically dense rows go to the long-row stream BEFORE packing
         # (the reference extracts long rows before building ELL widths,
@@ -460,7 +499,8 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         (ell_col, ell_val, slice_offset, step_win_mw, waste_ell,
          body_mask_in) = _sell_pack_multiwindow(
             row[body_in], col[body_in], val[body_in], n_rows_padded, C,
-            config, cdt, vdt, sliding=bool(config.sliding_windows))
+            config, cdt, vdt, sliding=bool(config.sliding_windows),
+            col_range=body_col_range)
         body_mask = np.zeros(row.shape[0], dtype=bool)
         body_mask[body_in] = body_mask_in
         er_mask = ~body_mask & ~long_pre

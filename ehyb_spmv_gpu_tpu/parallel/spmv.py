@@ -35,7 +35,7 @@ import numpy as np
 from ..config import EhybConfig, LANES, cdiv, round_up
 from ..core.convert import convert_core
 from ..core.coo import MatrixCOO
-from ..core.ehyb import EhybDevice, EhybMatrix
+from ..core.ehyb import EhybDevice
 from ..core.planner import Plan, make_plan
 from ..core.reorder import Reordering, identity_reordering, two_level_reorder
 from ..models.base import SpmvModel
@@ -99,7 +99,6 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
     shards = []
     for d in range(n_dev):
         b0, b1 = d * R, min((d + 1) * R, dim)
-        rows_d = max(b1 - b0, 0)
         sel = (m_r.row >= b0) & (m_r.row < b1)
         row_l = m_r.row[sel] - b0
         col_l = m_r.col[sel] - b0  # off-device cols go negative / beyond R
@@ -117,11 +116,14 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         inside = gb[(gb > b0) & (gb < b1)] - b0
         bounds_l = np.concatenate([[first], inside, [R]])
 
-        # DIA offsets are bounded to ±W so every shifted slice stays inside
-        # the [halo_W | local_R | halo_W] extended x (ehyb_dia_xla x_base=W).
+        # DIA offsets are bounded to ±W, and multi-window body columns to the
+        # [-W, R+W) halo span, so every x access stays inside the
+        # [halo_W | local_R | halo_W] extended vector (x_base = W); columns
+        # further off-device go to the globally-gathered ER tail.
         e = convert_core(row_l, col_l, val_l, dim=R, boundaries=bounds_l,
                          window_rows=W, n_parts=len(bounds_l) - 1,
-                         config=config, dia_off_range=(-W, W))
+                         config=config, dia_off_range=(-W, W),
+                         body_col_range=(-W, R + W))
         # Window starts into the extended x [halo_W | local_R | halo_W].
         e.slice_win_start = (e.slice_win_start.astype(np.int64) + W).astype(np.int32)
         e.step_win = (e.step_win.astype(np.int64) + W).astype(np.int32)
@@ -170,7 +172,8 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         er_val=stack(lambda s: _pad_rows(s.er_val, er_steps)),
         er_slice_offset=stack(lambda s: pad_offsets(s.er_slice_offset,
                                                     n_er_slices, er_steps)),
-        er_rows=stack(lambda s: _pad_rows(s.er_rows, n_er_slices * C, fill=R)),
+        er_rows=stack(lambda s: _pad_rows(
+            s.er_rows, n_er_slices * config.er_slice_rows, fill=R)),
         long_col=stack(lambda s: _pad_rows(s.long_col, n_long_entries)),
         long_val=stack(lambda s: _pad_rows(s.long_val, n_long_entries)),
         long_seg=stack(lambda s: _pad_rows(s.long_seg, n_long_entries,

@@ -63,3 +63,27 @@ def test_sharded_iterate(poisson_small):
     y1 = model.apply(x)
     y3 = model.iterate(x, 3, eps=0.0)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y3))
+
+
+def test_sharded_sell_mw_layout(scrambled_mesh_4=None):
+    """Regression (code review): sell_mw under sharding crashed or silently
+    packed body windows outside the ±W halo because shard-local negative
+    columns produced negative window chunks.  body_col_range now forces
+    off-halo columns to the globally-gathered ER tail."""
+    import numpy as np
+    import jax
+    import ehyb_spmv_gpu_tpu as ehyb
+    from ehyb_spmv_gpu_tpu.config import EhybConfig
+    from ehyb_spmv_gpu_tpu.core.coo import deterministic_x, oracle_spmv
+    from ehyb_spmv_gpu_tpu.io import generate
+    from ehyb_spmv_gpu_tpu.parallel.spmv import AXIS, ShardedEhybSpmv
+    from ehyb_spmv_gpu_tpu.utils.validate import rel_error
+
+    m = generate.permuted(generate.poisson2d(48), seed=11)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), (AXIS,))
+    for cfg in (EhybConfig(window_rows=1024, body_layout="sell_mw"),
+                EhybConfig(window_rows=1024, er_slice_rows=64)):
+        model = ShardedEhybSpmv(cfg, mesh=mesh).setup(m)
+        x = deterministic_x(m.dimension)
+        err = rel_error(model.matvec(x), oracle_spmv(m, x))
+        assert err < 5e-6, (cfg.body_layout, cfg.er_slice_rows, err)
