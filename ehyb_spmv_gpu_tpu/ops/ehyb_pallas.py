@@ -58,9 +58,13 @@ WIN_ROWS = WINDOW_ALIGN // LANES  # 8
 #: Max bytes of x kept fully VMEM-resident (v2 kernel); beyond this the
 #: windowed-BlockSpec variant is used.  Mosaic's default scoped-VMEM budget is
 #: 16 MB; the pallas_call raises it (v5e has 128 MB) so residency extends to
-#: ~6M-row vectors while leaving room for the streamed col/val double buffers.
-X_RESIDENT_BYTES = 24 * 1024 * 1024
-_VMEM_LIMIT = 34 * 1024 * 1024
+#: ~16M-row vectors while leaving room for the streamed col/val double buffers.
+X_RESIDENT_BYTES = 64 * 1024 * 1024
+_VMEM_LIMIT = 80 * 1024 * 1024
+#: Scalar-prefetch arrays (tile→slice/first maps + per-subtile window rows)
+#: live in SMEM (~1 MB per core); beyond this budget the Pallas body cannot
+#: be scheduled and the apply falls back to the XLA formulation.
+_SMEM_PREFETCH_BUDGET = 900 * 1024
 
 
 def _sell_body_kernel_resident(win_row_ref, tile_slice_ref, tile_first_ref,
@@ -170,6 +174,29 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                                 dia_phase(dev, x_pad))
         log.info("pallas SELL body skipped: 0 body nnz (all DIA/ER/long)")
         return apply_nobody
+
+    # Scalar-prefetch SMEM budget: per-subtile window rows + 2 per-tile maps
+    # (resident) / 3 per-tile maps (windowed).  ~1.5M body width-steps is the
+    # ceiling; matrices beyond it (far past the reference corpus scale) use
+    # the XLA formulation.
+    n_steps = int(e.ell_col.shape[0])
+    spt_res = SUBTILES * TILE_STEPS
+    prefetch_bytes = 4 * (n_steps // TILE_STEPS          # sub_win / win_block
+                          + 2 * max(n_steps // spt_res, 1))
+    if prefetch_bytes > _SMEM_PREFETCH_BUDGET:
+        log.warning(
+            "pallas SELL body skipped: %d width-steps need %.2f MB of "
+            "scalar-prefetch SMEM (budget %.2f MB) — XLA body fallback",
+            n_steps, prefetch_bytes / 1e6, _SMEM_PREFETCH_BUDGET / 1e6)
+
+        def apply_xla_body(dev: EhybDevice, x_pad: jax.Array) -> jax.Array:
+            from ..ops.xla_ops import ehyb_body_xla
+
+            return combine_ehyb(dev, ehyb_body_xla(dev, x_pad),
+                                ehyb_er_xla(dev, x_pad),
+                                ehyb_long_xla(dev, x_pad),
+                                dia_phase(dev, x_pad))
+        return apply_xla_body
 
     nnz_body = e.stats.get("nnz_ell", e.ell_val.size)
     vbytes = np.dtype(vdt).itemsize
