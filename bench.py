@@ -23,7 +23,6 @@ import json
 import os
 import subprocess
 import sys
-import traceback
 
 
 def log(*a):
@@ -70,7 +69,8 @@ def run_model(model_name: str, matrix_name: str, iters: int) -> int:
         bm = spmv_bytes_model(e.stats, value_bytes=vb, ell_index_bytes=ib,
                               dim=m.dimension)
     else:
-        bm = m.nnz * 8 + 2 * m.dimension * 4
+        # COO/BCOO baselines stream 2 int32 indices + an f32 value per nnz.
+        bm = m.nnz * 12 + 2 * m.dimension * 4
     res = bench_apply(model_name, lambda n: model.iterate(x_dev, n),
                       nnz=m.nnz, iters=iters, warmup=10, bytes_model=bm)
     print(RESULT_TAG + json.dumps({

@@ -46,7 +46,7 @@ def config_fingerprint(cfg: EhybConfig) -> str:
         "er_slice_rows": cfg.er_slice_rows,
         "features": (cfg.features.reorder, cfg.features.cache,
                      cfg.features.block, cfg.features.sort_rows,
-                     cfg.features.dia),
+                     cfg.features.sort_mode, cfg.features.dia),
         "partitioner": cfg.partitioner, "imbalance": cfg.partition_imbalance,
         "body_layout": cfg.body_layout, "ordering": cfg.ordering,
         "min_window_group_nnz": cfg.min_window_group_nnz,

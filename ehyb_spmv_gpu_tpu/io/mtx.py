@@ -100,7 +100,10 @@ def read_header(f: IO) -> MtxHeader:
     dims = s.split()
     if len(dims) != 3:
         raise MtxError(f"malformed size line: {s!r}")
-    n_rows, n_cols, n_entries = (int(d) for d in dims)
+    try:
+        n_rows, n_cols, n_entries = (int(d) for d in dims)
+    except ValueError as exc:
+        raise MtxError(f"malformed size line: {s!r}") from exc
     return MtxHeader(obj, fmt, field, sym, n_rows, n_cols, n_entries)
 
 
@@ -158,7 +161,10 @@ def _parse_entries(body: str, header: MtxHeader):
         body = "\n".join(ln for ln in body.splitlines()
                          if ln.strip() and not ln.lstrip().startswith("%"))
     width = 3 if has_value else 2
-    data = np.fromiter((float(t) for t in body.split()), dtype=np.float64)
+    try:
+        data = np.fromiter((float(t) for t in body.split()), dtype=np.float64)
+    except ValueError as exc:
+        raise MtxError(f"malformed entry token: {exc}") from exc
     if data.size != header.n_entries * width:
         raise MtxError(f"expected {header.n_entries} entries of {width} "
                        f"fields, got {data.size} tokens")
@@ -180,7 +186,7 @@ def write_mtx(path: str, m: MatrixCOO, symmetry: str = "general",
     if symmetry not in _VALID_SYMMETRIES:
         raise MtxError(f"unsupported symmetry {symmetry!r}")
     row, col, val = m.row, m.col, m.val
-    if symmetry in ("symmetric", "skew-symmetric"):
+    if symmetry in ("symmetric", "skew-symmetric", "hermitian"):
         keep = row >= col
         row, col, val = row[keep], col[keep], val[keep]
     with open(path, "w") as f:

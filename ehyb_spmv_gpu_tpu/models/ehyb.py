@@ -24,6 +24,7 @@ Variants:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -48,7 +49,7 @@ log = get_logger(__name__)
 #: instead of closure constants: constants larger than VMEM (128 MiB on v5e)
 #: cannot be pre-staged anyway, and on remote-attached TPUs they exceed the
 #: compile-request size limit (HTTP 413) — see models/base.py.
-VMEM_PRESTAGE_LIMIT = int(__import__("os").environ.get(
+VMEM_PRESTAGE_LIMIT = int(os.environ.get(
     "EHYB_PRESTAGE_LIMIT_BYTES", 100 * 1024 * 1024))
 
 
@@ -147,7 +148,9 @@ class EhybSpmv(EhybXlaSpmv):
     name = "ehyb"
 
     def _pallas_mode(self) -> str:
-        force = __import__("os").environ.get("EHYB_FORCE_PALLAS", "")
+        force = os.environ.get("EHYB_FORCE_PALLAS", "").lower()
+        if force in ("0", "false", "off", "no"):
+            return ""  # explicit disable
         if force:
             return force  # "1" (compiled) or "interpret"
         return "1" if jax.default_backend() == "tpu" else ""

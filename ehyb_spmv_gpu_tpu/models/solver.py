@@ -92,7 +92,9 @@ class CgSolver:
                  else jnp.zeros_like(b_dev))
         minv = self._minv if self._minv is not None else jnp.ones_like(b_dev)
         n = m.n_rows
-        tol2 = jnp.float32(tol * tol * _norm2_host(b))
+        acc_dt = jnp.promote_types(jnp.dtype(self.model.config.dtype),
+                                   jnp.float32)
+        tol2 = jnp.asarray(tol * tol * _norm2_host(b), dtype=acc_dt)
         operands = self.model.device_operands()
 
         seg = checkpoint_every or max_iters
@@ -124,9 +126,13 @@ class CgSolver:
         def matvec(v):
             return _resize_like(self.model.apply_operands(operands, v), v)
 
+        # Reductions in the widest dtype the config provides (hard-casting to
+        # f32 would cap f64 solves at ~1e-7 residuals).
+        acc_dt = jnp.promote_types(x.dtype, jnp.float32)
+
         def dot(u, v):
             # padded tails are zero by construction
-            return jnp.sum(u[:n].astype(jnp.float32) * v[:n].astype(jnp.float32))
+            return jnp.sum(u[:n].astype(acc_dt) * v[:n].astype(acc_dt))
 
         r = b - matvec(x)
         z = minv * r

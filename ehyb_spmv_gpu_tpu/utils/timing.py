@@ -39,6 +39,9 @@ def detect_hbm_bw() -> float:
     for k, bw in HBM_BW.items():
         if k in kind:
             return bw
+    if "tpu" in kind:  # unknown TPU generation: a TPU-ish default, not 'cpu'
+        log.warning("unknown TPU device_kind %r — assuming 0.8 TB/s HBM", kind)
+        return 0.8e12
     return HBM_BW["cpu"]
 
 
@@ -114,7 +117,20 @@ def measure_loop(apply_iters: Callable[[int], "jax.Array"], iters: int,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return max(timed(half + iters) - timed(half), 1e-9) / iters
+    dt = timed(half + iters) - timed(half)
+    if dt <= 0:
+        # Never report an absurd rate silently: retry once with a 4x longer
+        # region; a second non-positive difference is a measurement failure.
+        log.warning("measure_loop: non-positive difference (%.4fs) — retrying "
+                    "at 4x iterations", dt)
+        dt = timed(half + 4 * iters) - timed(half)
+        if dt <= 0:
+            raise RuntimeError(
+                f"measure_loop: timed region not measurable (diff {dt:.4f}s "
+                f"at {iters} and {4*iters} iterations) — dispatch elision or "
+                "extreme tunnel noise; see verify skill notes")
+        return dt / (4 * iters)
+    return dt / iters
 
 
 def bench_apply(name: str, apply_iters: Callable[[int], jax.Array], nnz: int,
