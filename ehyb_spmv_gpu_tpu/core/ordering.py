@@ -186,13 +186,31 @@ def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
     def rcm():
         return reordering_from_order(rcm_order(m), dim)
 
+    def rcm_pattern():
+        # RCM for bandwidth, then rows re-sorted inside 1024-row locality
+        # buckets by (first-chunk, density): rows sharing a 128-row SELL
+        # slice then use the same column chunks, which is what the
+        # per-(slice, chunk) max-over-lanes padding actually depends on.
+        base = rcm_order(m)
+        pos_of_old = np.empty(dim, dtype=np.int64)
+        pos_of_old[base] = np.arange(dim, dtype=np.int64)
+        col1 = pos_of_old[m.col]
+        row1 = pos_of_old[m.row]
+        min_col = np.full(dim, dim, dtype=np.int64)
+        np.minimum.at(min_col, row1, col1)
+        counts = np.bincount(row1, minlength=dim)
+        bucket = np.arange(dim, dtype=np.int64) // 1024
+        order = np.lexsort((-counts, min_col // 128, bucket))
+        return reordering_from_order(base[order], dim)
+
     def partition():
         labels = partition_rows(m, plan.n_parts, config.partitioner,
                                 config.partition_imbalance)
         return two_level_reorder(m, labels, plan, sort_rows=True,
                                  sort_mode="pattern")
 
-    candidates = {"natural": natural, "rcm": rcm, "partition": partition}
+    candidates = {"natural": natural, "rcm": rcm,
+                  "rcm_pattern": rcm_pattern, "partition": partition}
     if mode in candidates:
         return candidates[mode]()
     if mode != "auto":
