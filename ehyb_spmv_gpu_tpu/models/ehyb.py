@@ -192,7 +192,23 @@ class EhybSpmv(EhybXlaSpmv):
         super().setup(m)
         self._use_pallas = bool(mode)
         if self._use_pallas:
-            from ..ops.ehyb_pallas import make_ehyb_pallas_apply
+            from ..ops.ehyb_pallas import (X_RESIDENT_BYTES,
+                                           make_ehyb_pallas_apply,
+                                           pad_stream_arrays)
+
+            # HBM-streaming regime: use the v3 streamed body (256-step tiles;
+            # the per-slice tile path is bound by a flat ~240ns/grid-step at
+            # 24KB tiles — see scripts/probe_blockspec_windows.py).
+            streaming = (self._args_mode
+                         and self.ehyb.stats.get("nnz_ell", 0) > 0
+                         and self.ehyb.padded_x_rows
+                         * np.dtype(self.config.dtype).itemsize
+                         <= X_RESIDENT_BYTES)
+            if streaming:
+                col_p, val_p = pad_stream_arrays(self.ehyb)
+                self.dev = dataclasses.replace(
+                    self.dev, ell_col=jax.numpy.asarray(col_p),
+                    ell_val=jax.numpy.asarray(val_p, dtype=self.config.dtype))
 
             dia_apply = None
             if self._args_mode and len(self.dev.dia_offsets):
@@ -211,7 +227,7 @@ class EhybSpmv(EhybXlaSpmv):
                 self._dia_apply = dia_apply  # introspection (phase_breakdown)
             self._pallas_apply = make_ehyb_pallas_apply(
                 self.ehyb, self.config, interpret=(mode == "interpret"),
-                dia_apply=dia_apply)
+                dia_apply=dia_apply, streaming=streaming)
         return self
 
     def apply(self, x_dev: jax.Array) -> jax.Array:

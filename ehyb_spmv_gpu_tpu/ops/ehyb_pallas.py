@@ -113,6 +113,53 @@ def _sell_body_kernel_windowed(tile_slice_ref, tile_first_ref, win_block_ref,
         y_ref[:] = y_ref[:] + partial
 
 
+#: Streamed-body (v3) sub-tiles per grid step: 256-step tiles (192 KB of
+#: col+val per step) amortize the measured ~240 ns flat per-grid-step cost of
+#: the HBM-streaming regime (small 24 KB tiles cap at ~100 GB/s; see
+#: scripts/probe_blockspec_windows.py and the git history probes).
+STREAM_SUBTILES = 32
+
+
+def _sell_body_kernel_stream(win_row_ref, col_ref, val_ref, x_ref, y_ref):
+    """Streamed body: one grid step = STREAM_SUBTILES sub-tiles anywhere in
+    the concatenated step stream (tiles may span slices).  Emits per-sub-tile
+    lane partials (cross-sublane reduced in-kernel); the caller segment-sums
+    partials into slices.  No output revisits, no per-slice tile alignment."""
+    t = pl.program_id(0)
+    for i in range(STREAM_SUBTILES):
+        win = x_ref[pl.ds(win_row_ref[t * STREAM_SUBTILES + i], WIN_ROWS), :]
+        col = col_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :].astype(jnp.int32)
+        hi = jax.lax.shift_right_logical(col, 7)
+        lo = jax.lax.bitwise_and(col, 127)
+        rows = jnp.take_along_axis(win, hi, axis=0)
+        g = jnp.take_along_axis(rows, lo, axis=1)
+        part = val_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :] * g
+        y_ref[0, i, :] = jnp.sum(part, axis=0)
+
+
+def build_stream_maps(e: EhybMatrix):
+    """Host metadata for the streamed body: per-sub-tile window rows and the
+    sub-tile → slice segment ids (padding sub-tiles map to the dump slice
+    ``n_slices``).  Steps are padded to a whole number of stream tiles."""
+    widths = np.diff(e.slice_offset.astype(np.int64))
+    if not np.all(widths % TILE_STEPS == 0):
+        raise ValueError("slice widths must be multiples of 8")
+    step_win = e.step_win.astype(np.int64)
+    sw = step_win.reshape(-1, TILE_STEPS)
+    if not np.all(sw == sw[:, :1]):
+        raise ValueError("window must be constant within each 8-step sub-tile")
+    n_sub = sw.shape[0]
+    spt = STREAM_SUBTILES
+    n_tiles = max(1, -(-n_sub // spt))
+    sub_win = np.zeros(n_tiles * spt, dtype=np.int32)
+    sub_win[:n_sub] = (sw[:, 0] // LANES).astype(np.int32)
+    sub_slice = np.full(n_tiles * spt, e.n_slices, dtype=np.int32)  # dump
+    step_slice = np.repeat(np.arange(e.n_slices, dtype=np.int32),
+                           widths // TILE_STEPS)
+    sub_slice[:n_sub] = step_slice
+    return sub_win, sub_slice, n_tiles
+
+
 def build_tile_maps(e: EhybMatrix, steps_per_tile: int):
     """Host-side tile metadata for a grid of ``steps_per_tile``-step tiles:
     tile → (slice, first-of-slice) plus the per-8-step-sub-tile window rows."""
@@ -139,9 +186,24 @@ def build_tile_maps(e: EhybMatrix, steps_per_tile: int):
     return tile_slice, first_pos, subtile_win_row
 
 
+def pad_stream_arrays(e: EhybMatrix):
+    """Zero-pad ell_col/ell_val to whole stream tiles (streamed body input)."""
+    spt = STREAM_SUBTILES * TILE_STEPS
+    total = e.ell_col.shape[0]
+    pad_to = max(1, -(-max(total, 1) // spt)) * spt
+    if total == pad_to:
+        return e.ell_col, e.ell_val
+    col = np.zeros((pad_to, e.ell_col.shape[1]), dtype=e.ell_col.dtype)
+    val = np.zeros((pad_to, e.ell_val.shape[1]), dtype=e.ell_val.dtype)
+    col[:total] = e.ell_col
+    val[:total] = e.ell_val
+    return col, val
+
+
 def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                            interpret: bool = False,
-                           dia_apply: Callable = None) -> Callable:
+                           dia_apply: Callable = None,
+                           streaming: bool = False) -> Callable:
     """Build the fused apply: Pallas SELL body + XLA ER/long phases.
 
     Returns ``apply(dev: EhybDevice, x_pad) -> y_padded`` (same contract as
@@ -151,6 +213,12 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
     for the HBM-streaming regime (the caller must have packed ``dev.dia_val``
     with ``ops.dia_pallas.pack_dia``); default uses the XLA shifted-slice
     formulation, which is optimal when the working set is VMEM-resident.
+
+    ``streaming``: use the v3 streamed body (256-step tiles over the
+    concatenated stream, per-sub-tile partials + segment-sum) — for the
+    HBM-streaming regime, where small per-slice tiles are bound by the flat
+    ~240 ns per-grid-step cost.  The caller must have re-padded
+    ``dev.ell_col``/``dev.ell_val`` with :func:`pad_stream_arrays`.
     """
     n_slices = e.n_slices
     vdt = config.dtype
@@ -174,6 +242,62 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                                 dia_phase(dev, x_pad))
         log.info("pallas SELL body skipped: 0 body nnz (all DIA/ER/long)")
         return apply_nobody
+
+    if streaming and resident:
+        sub_win, sub_slice, n_tiles = build_stream_maps(e)
+        if sub_win.shape[0] * 4 <= _SMEM_PREFETCH_BUDGET:
+            spt = STREAM_SUBTILES * TILE_STEPS
+            n_slices_dump = n_slices + 1
+            aux = (jnp.asarray(sub_win),)
+            sub_slice_dev = jnp.asarray(sub_slice)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec((spt, LANES), lambda t, wr: (t, 0),
+                                 memory_space=pltpu.VMEM),      # col
+                    pl.BlockSpec((spt, LANES), lambda t, wr: (t, 0),
+                                 memory_space=pltpu.VMEM),      # val
+                    pl.BlockSpec(memory_space=pltpu.VMEM),      # x resident
+                ],
+                out_specs=pl.BlockSpec((1, STREAM_SUBTILES, LANES),
+                                       lambda t, wr: (t, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            )
+            nnz_body = e.stats.get("nnz_ell", e.ell_val.size)
+            vbytes = np.dtype(vdt).itemsize
+            cost = pl.CostEstimate(
+                flops=2 * max(nnz_body, 1),
+                bytes_accessed=int(
+                    n_tiles * spt * LANES * (vbytes + e.ell_col.dtype.itemsize)
+                    + e.dim * 2 * vbytes),
+                transcendentals=0)
+            stream_call = pl.pallas_call(
+                _sell_body_kernel_stream, grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct(
+                    (n_tiles, STREAM_SUBTILES, LANES), vdt),
+                cost_estimate=cost, interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT))
+
+            def apply_stream(dev: EhybDevice, x_pad: jax.Array) -> jax.Array:
+                x2d = x_pad.reshape(x_rows, LANES)
+                y3 = stream_call(*aux, dev.ell_col, dev.ell_val, x2d)
+                ysub = y3.reshape(-1, LANES)
+                y2 = jax.ops.segment_sum(ysub, sub_slice_dev,
+                                         num_segments=n_slices_dump,
+                                         indices_are_sorted=True)
+                y_body = y2[:n_slices].reshape(-1)
+                return combine_ehyb(dev, y_body, ehyb_er_xla(dev, x_pad),
+                                    ehyb_long_xla(dev, x_pad),
+                                    dia_phase(dev, x_pad))
+
+            log.info("pallas SELL body [streamed v3]: %d tiles of %d steps, "
+                     "%d slices", n_tiles, spt, n_slices)
+            return apply_stream
+        log.warning("streamed body wanted but %d sub-tiles exceed the SMEM "
+                    "prefetch budget; using the per-slice tile path",
+                    sub_win.shape[0])
 
     # Scalar-prefetch SMEM budget: per-subtile window rows + 2 per-tile maps
     # (resident) / 3 per-tile maps (windowed).  ~1.5M body width-steps is the
