@@ -199,7 +199,9 @@ class EhybSpmv(EhybXlaSpmv):
             # HBM-streaming regime: use the v3 streamed body (256-step tiles;
             # the per-slice tile path is bound by a flat ~240ns/grid-step at
             # 24KB tiles — see scripts/probe_blockspec_windows.py).
-            streaming = (self._args_mode
+            force_stream = os.environ.get("EHYB_STREAM_BODY", "")
+            streaming = ((self._args_mode or force_stream == "1")
+                         and force_stream != "0"
                          and self.ehyb.stats.get("nnz_ell", 0) > 0
                          and self.ehyb.padded_x_rows
                          * np.dtype(self.config.dtype).itemsize
