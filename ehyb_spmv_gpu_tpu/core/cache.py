@@ -37,8 +37,14 @@ def matrix_fingerprint(m: MatrixCOO) -> str:
     return h.hexdigest()[:24]
 
 
+#: Bump on ANY converter/reorderer semantic change — cached artifacts encode
+#: the conversion algorithm, not just its inputs.
+FORMAT_VERSION = 2
+
+
 def config_fingerprint(cfg: EhybConfig) -> str:
     payload = json.dumps({
+        "format_version": FORMAT_VERSION,
         "dtype": cfg.dtype, "index_dtype": cfg.index_dtype,
         "window_budget": cfg.window_budget_bytes, "window_rows": cfg.window_rows,
         "min_parts": cfg.min_parts, "slice_rows": cfg.slice_rows,

@@ -484,15 +484,17 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         er_only = er_mask & ~long_row_mask_per_row[row]
 
     if config.body_layout == "sell_mw":
-        # Pathologically dense rows go to the long-row stream BEFORE packing
-        # (the reference extracts long rows before building ELL widths,
-        # convert.c:92-101): one such row would otherwise set its slice's
-        # per-chunk widths and blow up the padding for 127 neighbors.
-        row_counts = np.bincount(row, minlength=dim) if row.size else \
-            np.zeros(dim, dtype=np.int64)
-        long_pre_per_row = row_counts > config.long_row_threshold
-        long_pre = long_pre_per_row[row] if row.size else \
-            np.zeros(0, dtype=bool)
+        # Dense rows STAY in the body: the density sort clusters them into
+        # shared slices whose groups pack densely, and the long-row stream's
+        # XLA global gather costs ~14 cyc/element (measured powerlaw_16k
+        # regression: 5.1 -> 0.95 GFLOP/s when rows >512 nnz were
+        # pre-extracted).  The reference extracts long rows before ELL
+        # (convert.c:92-101) because ITS width cost is per-32-row-block; here
+        # only rows whose entries FAIL body grouping in large numbers (ER
+        # census below) go long — that protects the ER slices, which is the
+        # only place a dense row still hurts.
+        long_pre_per_row = np.zeros(dim, dtype=bool)
+        long_pre = np.zeros(row.shape[0], dtype=bool)
         body_in = ~long_pre
         # Multi-window: the packer itself decides body vs ER per
         # (slice, window) group; re-derive the masks from its decision.

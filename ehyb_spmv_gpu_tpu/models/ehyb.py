@@ -196,12 +196,13 @@ class EhybSpmv(EhybXlaSpmv):
                                            make_ehyb_pallas_apply,
                                            pad_stream_arrays)
 
-            # HBM-streaming regime: use the v3 streamed body (256-step tiles;
-            # the per-slice tile path is bound by a flat ~240ns/grid-step at
+            # The v3 streamed body (256-step tiles + partials/segment-sum) is
+            # the default whenever it applies: measured +35-68% over the
+            # per-slice tile path across the scattered corpus in const mode
+            # and 2.6x in the HBM-streaming regime (flat ~240ns/grid-step at
             # 24KB tiles — see scripts/probe_blockspec_windows.py).
-            force_stream = os.environ.get("EHYB_STREAM_BODY", "")
-            streaming = ((self._args_mode or force_stream == "1")
-                         and force_stream != "0"
+            # EHYB_STREAM_BODY=0 selects the per-slice v2 path.
+            streaming = (os.environ.get("EHYB_STREAM_BODY", "") != "0"
                          and self.ehyb.stats.get("nnz_ell", 0) > 0
                          and self.ehyb.padded_x_rows
                          * np.dtype(self.config.dtype).itemsize
