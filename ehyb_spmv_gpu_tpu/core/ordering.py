@@ -166,8 +166,19 @@ def estimate_mw_steps(row_new: np.ndarray, col_new: np.ndarray, dim: int,
     kidx = kmap[ginv][body]
     lane = (row_new % C)[body]
     ch = (col_new // 128 - wc)[body]  # window-local chunk ∈ [0, 8)
-    cnt = np.bincount((kidx * C + lane) * 8 + ch, minlength=K * C * 8)
-    w_kc = cnt.reshape(K, C, 8).max(axis=1)
+    # Sparse run-length counting (same scheme as _sell_pack_multiwindow): a
+    # dense bincount would be K·C·8 cells — tens of GB when millions of small
+    # groups are kept on an audikw-scale scrambled matrix.
+    key2 = (kidx * C + lane) * 8 + ch
+    key_s = np.sort(key2, kind="stable")
+    new_run = np.empty(key_s.shape[0], dtype=bool)
+    new_run[0] = True
+    np.not_equal(key_s[1:], key_s[:-1], out=new_run[1:])
+    run_start = np.flatnonzero(new_run)
+    run_len = np.diff(np.append(run_start, key_s.shape[0]))
+    u = key_s[run_start]
+    w_kc = np.zeros((K, 8), dtype=np.int64)
+    np.maximum.at(w_kc, (u // (C * 8), u % 8), run_len)
     gw = w_kc.sum(axis=1)
     gwp = (-(-gw // _TILE)) * _TILE
     return int(gwp.sum()) + er_steps

@@ -194,7 +194,8 @@ class EhybSpmv(EhybXlaSpmv):
         if self._use_pallas:
             from ..ops.ehyb_pallas import (X_RESIDENT_BYTES,
                                            make_ehyb_pallas_apply,
-                                           pad_stream_arrays)
+                                           pad_stream_arrays,
+                                           stream_body_fits)
 
             # The v3 streamed body (256-step tiles + partials/segment-sum) is
             # the default whenever it applies: measured +35-68% over the
@@ -202,11 +203,16 @@ class EhybSpmv(EhybXlaSpmv):
             # and 2.6x in the HBM-streaming regime (flat ~240ns/grid-step at
             # 24KB tiles — see scripts/probe_blockspec_windows.py).
             # EHYB_STREAM_BODY=0 selects the per-slice v2 path.
+            # stream_body_fits MUST gate the padding: if the streamed path
+            # were declined after padding, the fallback applies would index
+            # unpadded step maps against padded ell arrays and crash at trace
+            # time (advisor finding, round 1).
             streaming = (os.environ.get("EHYB_STREAM_BODY", "") != "0"
                          and self.ehyb.stats.get("nnz_ell", 0) > 0
                          and self.ehyb.padded_x_rows
                          * np.dtype(self.config.dtype).itemsize
-                         <= X_RESIDENT_BYTES)
+                         <= X_RESIDENT_BYTES
+                         and stream_body_fits(self.ehyb))
             if streaming:
                 col_p, val_p = pad_stream_arrays(self.ehyb)
                 self.dev = dataclasses.replace(

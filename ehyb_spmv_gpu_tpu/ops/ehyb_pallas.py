@@ -200,6 +200,22 @@ def pad_stream_arrays(e: EhybMatrix):
     return col, val
 
 
+def stream_body_fits(e: EhybMatrix) -> bool:
+    """True iff the streamed (v3) body can be scheduled for this matrix: the
+    per-sub-tile window-row map must fit the scalar-prefetch SMEM budget.
+
+    Callers must check this BEFORE padding ``ell_col/ell_val`` with
+    :func:`pad_stream_arrays`: if the streamed path is declined, the fallback
+    applies index ``step_win`` against *unpadded* step counts and would crash
+    at trace time on padded arrays (advisor finding, round 1).
+    """
+    if e.stats.get("nnz_ell", 1) == 0:
+        return False
+    n_sub = max(1, -(-int(e.ell_col.shape[0]) // TILE_STEPS))
+    n_sub = max(1, -(-n_sub // STREAM_SUBTILES)) * STREAM_SUBTILES
+    return n_sub * 4 <= _SMEM_PREFETCH_BUDGET
+
+
 def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                            interpret: bool = False,
                            dia_apply: Callable = None,

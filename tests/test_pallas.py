@@ -167,6 +167,20 @@ def test_mw_min_nnz_1_empties_er(poisson_mid):
     assert e.stats["nnz_er"] == 0
 
 
+def test_stream_decline_no_padding(poisson_mid, monkeypatch):
+    """If the streamed body is declined (SMEM budget), ell arrays must stay
+    unpadded so the fallback applies trace cleanly (advisor finding, r1)."""
+    import ehyb_spmv_gpu_tpu.ops.ehyb_pallas as ep
+
+    monkeypatch.setattr(ep, "_SMEM_PREFETCH_BUDGET", 8)  # force decline
+    monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
+    model = ehyb.EhybSpmv(EhybConfig()).setup(poisson_mid)
+    # padding must not have happened
+    assert model.dev.ell_col.shape[0] == model.ehyb.ell_col.shape[0]
+    x = deterministic_x(poisson_mid.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(poisson_mid, x)) < 5e-6
+
+
 @pytest.mark.parametrize("fixture", ["poisson_mid", "fem_small", "scrambled"])
 def test_mw_pallas_interpret_vs_oracle(fixture, request):
     m = request.getfixturevalue(fixture)
