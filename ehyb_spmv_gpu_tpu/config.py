@@ -125,8 +125,14 @@ class EhybConfig:
     # --- format shape ---
     #: SELL body packing: 'sell' = plain width-step packing (XLA path);
     #: 'sell_cs' = chunk-synchronized packing required by the Pallas
-    #: two-stage-gather kernel (see convert._sell_pack_chunk_sync).
+    #: two-stage-gather kernel (see convert._sell_pack_chunk_sync);
+    #: 'sell_mw' = multi-window chunk-sync; 'sell_rx' = relaxed lo-slot
+    #: packing with dual-window sub-tiles (convert._sell_pack_relaxed).
     body_layout: str = "sell"
+    #: Relaxed-layout auto-switch: with body_layout 'sell_mw', 'auto' converts
+    #: both ways when chunk-sync padding is high and keeps the cheaper body by
+    #: the measured per-vreg cycle model; 'never' disables the second attempt.
+    relax_body: str = "auto"
     #: Multi-window layout: minimum entries a (slice, window) group needs to be
     #: packed into body tiles; smaller groups spill to the ER tail.  Measured
     #: break-even on v5e: a kept group costs ≤8 width-steps (~22 VPU cyc), an

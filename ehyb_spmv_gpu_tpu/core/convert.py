@@ -360,6 +360,249 @@ def _sell_pack_multiwindow(row: np.ndarray, col: np.ndarray, val: np.ndarray,
             step_win.astype(np.int32), waste, body_mask)
 
 
+def _pack_steps_relaxed(pairid: np.ndarray, lane: np.ndarray,
+                        slot: np.ndarray, hcls: np.ndarray,
+                        order_hint: np.ndarray = None) -> np.ndarray:
+    """Greedy round-based step assignment under the RELAXED lo-slot constraint.
+
+    Per (pair, step): at most one entry per lane, and every used lo-slot maps
+    to a single chunk class (sel·8+hi).  This is the exact feasibility
+    condition of the two-stage ``tpu.dynamic_gather`` (verified on hardware,
+    scripts/probe_wide_gather.py): ``g[s,l] = win[hi[s, lo[s,l]], lo[s,l]]``
+    only requires the *hi stored at lane position j* to be consistent for all
+    entries whose lo == j — NOT a single chunk per step, which is what the
+    chunk-sync packers over-enforce (and what costs 80-95%% padding on
+    scattered matrices).
+
+    Each round assigns one step to every pair simultaneously: the first
+    unassigned entry per (pair, lane) is a candidate; candidates grouped by
+    (pair, slot) keep only those matching the group leader's chunk class.
+    Rounds = max step count over pairs; each round is vectorized NumPy.
+    Returns the per-entry step index within its pair.
+    """
+    n = pairid.shape[0]
+    step = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        return step
+    rem = np.argsort(order_hint, kind="stable") if order_hint is not None \
+        else np.arange(n, dtype=np.int64)
+    C = 128
+    r = 0
+    while rem.size:
+        p, l = pairid[rem], lane[rem]
+        k1 = p * C + l
+        o = np.argsort(k1, kind="stable")
+        k1o = k1[o]
+        lead1 = np.empty(o.size, dtype=bool)
+        lead1[0] = True
+        np.not_equal(k1o[1:], k1o[:-1], out=lead1[1:])
+        cand = o[lead1]                      # first per (pair, lane), in rem idx
+        # keep candidates whose chunk class matches their (pair, slot) leader
+        pc = p[cand]
+        jc, hc = slot[rem[cand]], hcls[rem[cand]]
+        k2 = pc * C + jc
+        o2 = np.argsort(k2, kind="stable")
+        k2o = k2[o2]
+        lead2 = np.empty(o2.size, dtype=bool)
+        lead2[0] = True
+        np.not_equal(k2o[1:], k2o[:-1], out=lead2[1:])
+        gid = np.cumsum(lead2) - 1
+        lead_h = hc[o2][lead2][gid]
+        take = cand[o2[hc[o2] == lead_h]]
+        step[rem[take]] = r
+        mask = np.ones(rem.size, dtype=bool)
+        mask[take] = False
+        rem = rem[mask]
+        r += 1
+        if r > 1 << 20:      # can't happen: every round drains >=1 per pair
+            raise RuntimeError("relaxed packer failed to converge")
+    return step
+
+
+def _sell_pack_relaxed(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                       n_rows_padded: int, slice_rows: int,
+                       config: EhybConfig, col_dtype, val_dtype,
+                       col_range: Tuple[Optional[int], Optional[int]]
+                       = (None, None)):
+    """Relaxed lo-slot SELL packing with dual-window sub-tiles (``sell_rx``).
+
+    Layout contract (consumed by ``_sell_body_kernel_stream_rx`` and the XLA
+    emulation in ``ops/xla_ops.ehyb_body_xla``):
+
+      * ``ell_col[s, l]`` packs ``(sel << 10) | (hi << 7) | lo`` where
+        ``(sel, hi)`` describe LO-SLOT ``l`` of step ``s`` (which window chunk
+        lane position ``l`` is gathered from) and ``lo`` is the low 7 column
+        bits of the ENTRY stored at lane ``l`` (if any; padding lanes carry
+        ``lo = 0`` with ``val = 0``);
+      * each 8-step sub-tile carries TWO 1024-aligned x windows
+        (``step_win`` / ``step_win_b`` row starts, constant per sub-tile);
+        ``sel`` picks between them;
+      * entries pinned to lane ``row %% 128``; per step each used slot has one
+        (sel, hi) — the feasibility condition of the two-stage dynamic_gather.
+
+    Grouping per (slice, 1024-window) mirrors :func:`_sell_pack_multiwindow`
+    (min_window_group_nnz spill to ER); kept groups of a slice are then
+    PAIRED (two-pointer over descending size) so a sub-tile serves two
+    windows — a sparse window rides along with a dense one instead of
+    burning its own 8-step quantum.
+
+    Returns (col_arr, val_arr, slice_offset, step_win, step_win_b, waste,
+    body_mask).
+    """
+    C = slice_rows
+    n_slices = max(1, cdiv(n_rows_padded, C))
+    sl = row // C
+    lane = row - sl * C
+
+    lo_c, hi_c = col_range
+    valid = np.ones(row.shape[0], dtype=bool)
+    if lo_c is not None:
+        valid &= col >= lo_c
+    if hi_c is not None:
+        valid &= col < hi_c
+    body_mask = np.zeros(row.shape[0], dtype=bool)
+
+    def degenerate():
+        slice_offset = (np.arange(n_slices + 1) * _TILE).astype(np.int32)
+        total = n_slices * _TILE
+        return (np.zeros((total, C), dtype=col_dtype),
+                np.zeros((total, C), dtype=val_dtype),
+                slice_offset, np.zeros(total, dtype=np.int32),
+                np.zeros(total, dtype=np.int32), total * C, body_mask)
+
+    if not valid.any():
+        return degenerate()
+
+    # --- window groups (1024-aligned; sliding adds nothing once windows pair)
+    ch_v = col[valid] // 128
+    ch_min = min(int(ch_v.min(initial=0)), 0)
+    wc_v = ((ch_v - ch_min) // 8) * 8 + ch_min          # window start chunk
+    wc_min = min(int(wc_v.min(initial=0)), 0)
+    NW = int(wc_v.max(initial=0)) - wc_min + 1
+    gkey_v = sl[valid] * NW + (wc_v - wc_min)
+    uniq, ginv, gcount = np.unique(gkey_v, return_inverse=True,
+                                   return_counts=True)
+    keep = gcount >= max(1, config.min_window_group_nnz)
+    body_mask[valid] = keep[ginv]
+    K = int(keep.sum())
+    if K == 0:
+        return degenerate()
+
+    g_sl = (uniq[keep] // NW).astype(np.int64)
+    g_wc = (uniq[keep] % NW).astype(np.int64) + wc_min
+    g_cnt = gcount[keep].astype(np.int64)
+
+    # --- pair groups within each slice: two-pointer over descending size ----
+    # pair_of_group / the pair's (win_a, win_b) chunk starts
+    pair_of_group = np.empty(K, dtype=np.int64)
+    order_g = np.lexsort((-g_cnt, g_sl))      # by slice, then count desc
+    slice_start = np.zeros(K, dtype=bool)
+    slice_start[0] = True
+    gs = g_sl[order_g]
+    slice_start[1:] = gs[1:] != gs[:-1]
+    starts = np.flatnonzero(slice_start)
+    ends = np.append(starts[1:], K)
+    # rank within slice (0-based) over the desc-count order
+    rank_in_slice = np.arange(K) - np.repeat(starts, ends - starts)
+    size_in_slice = np.repeat(ends - starts, ends - starts)
+    # two-pointer pairing: rank r pairs with (size-1-r); local pair id = min
+    pair_local = np.minimum(rank_in_slice, size_in_slice - 1 - rank_in_slice)
+    pps = ((size_in_slice + 1) // 2)[starts]        # pairs per slice
+    pair_base_slice = np.cumsum(pps) - pps          # exclusive cumsum
+    pair_of_group[order_g] = np.repeat(pair_base_slice, ends - starts) \
+        + pair_local
+    n_pairs = int(pps.sum())
+    is_a = rank_in_slice <= (size_in_slice - 1 - rank_in_slice)
+    pg = pair_of_group[order_g]
+    pair_wa = np.zeros(n_pairs, dtype=np.int64)
+    pair_wa[pg[is_a]] = g_wc[order_g][is_a]
+    pair_wb = pair_wa.copy()                 # singletons: B window == A window
+    pair_wb[pg[~is_a]] = g_wc[order_g][~is_a]
+    pair_sl = np.zeros(n_pairs, dtype=np.int64)
+    pair_sl[pg] = g_sl[order_g]
+
+    # --- per-entry attributes -----------------------------------------------
+    b = body_mask
+    kmap = np.full(uniq.shape[0], -1, dtype=np.int64)
+    kmap[keep] = np.arange(K)
+    kidx = kmap[ginv][keep[ginv]]            # per-body-entry group id
+    pair_e = pair_of_group[kidx]
+    lane_e = lane[b]
+    col_e = col[b].astype(np.int64)
+    lo_e = col_e % 128
+    ch_e = col_e // 128
+    wa_e, wb_e = pair_wa[pair_e], pair_wb[pair_e]
+    sel_e = ~((ch_e >= wa_e) & (ch_e < wa_e + 8))       # prefer window A
+    hi_e = np.where(sel_e, ch_e - wb_e, ch_e - wa_e)
+    assert hi_e.min(initial=0) >= 0 and hi_e.max(initial=0) < 8
+    hcls_e = sel_e.astype(np.int64) * 8 + hi_e
+
+    # order hint: big (pair, slot, hcls) classes first — lanes whose head
+    # candidates share a column class pack into the same round
+    ckey = (pair_e * 128 + lo_e) * 16 + hcls_e
+    cu, cinv, ccnt = np.unique(ckey, return_inverse=True, return_counts=True)
+    hint = np.lexsort((ckey, -ccnt[cinv], pair_e))
+    hint_rank = np.empty(hint.shape[0], dtype=np.int64)
+    hint_rank[hint] = np.arange(hint.shape[0])
+
+    step_in_pair = _pack_steps_relaxed(pair_e, lane_e, lo_e, hcls_e,
+                                       order_hint=hint_rank)
+
+    # --- steps per pair, padded to whole sub-tiles --------------------------
+    S = np.zeros(n_pairs, dtype=np.int64)
+    np.maximum.at(S, pair_e, step_in_pair + 1)
+    S = np.maximum(cdiv_arr(S, _TILE) * _TILE, _TILE)
+
+    widths = np.zeros(n_slices, dtype=np.int64)
+    np.add.at(widths, pair_sl, S)
+    widths = np.maximum(widths, _TILE)       # empty slices get a dummy subtile
+    slice_offset = np.zeros(n_slices + 1, dtype=np.int64)
+    np.cumsum(widths, out=slice_offset[1:])
+    total_steps = int(slice_offset[-1])
+
+    # pair step base: pairs laid out by (slice, pair id) — pair ids are
+    # already slice-contiguous ascending by construction
+    pair_order = np.argsort(pair_sl, kind="stable")
+    Ssorted = S[pair_order]
+    cum = np.cumsum(Ssorted) - Ssorted
+    first = np.empty(n_pairs, dtype=bool)
+    psl = pair_sl[pair_order]
+    first[0] = True
+    first[1:] = psl[1:] != psl[:-1]
+    base = cum[first][np.cumsum(first) - 1]
+    pair_step_base = np.empty(n_pairs, dtype=np.int64)
+    pair_step_base[pair_order] = slice_offset[psl] + (cum - base)
+
+    # --- paint per-step window starts (incl. pair padding steps) ------------
+    step_win = np.zeros(total_steps, dtype=np.int64)
+    step_win_b = np.zeros(total_steps, dtype=np.int64)
+    spans = np.repeat(np.arange(n_pairs), S)
+    pos = np.arange(spans.shape[0], dtype=np.int64) \
+        - np.repeat(np.cumsum(S) - S, S)
+    sidx = pair_step_base[spans] + pos
+    step_win[sidx] = pair_wa[spans] * 128
+    step_win_b[sidx] = pair_wb[spans] * 128
+
+    # --- scatter ------------------------------------------------------------
+    step_abs = pair_step_base[pair_e] + step_in_pair
+    col_arr = np.zeros((total_steps, C), dtype=col_dtype)
+    val_arr = np.zeros((total_steps, C), dtype=val_dtype)
+    attr = (np.where(sel_e, 1 << 10, 0) + (hi_e << 7)).astype(np.int64)
+    flat_slot = step_abs * C + lo_e
+    flat_lane = step_abs * C + lane_e
+    ca = col_arr.reshape(-1)
+    # 1) slot attributes at (step, lo); duplicates write identical values
+    ca[flat_slot] = attr.astype(col_dtype)
+    # 2) entry lo bits at (step, lane)
+    np.bitwise_or.at(ca, flat_lane, lo_e.astype(col_dtype))
+    val_arr.reshape(-1)[flat_lane] = val[b].astype(val_dtype)
+
+    waste = int(total_steps * C - int(b.sum()))
+    return (col_arr, val_arr, slice_offset.astype(np.int32),
+            step_win.astype(np.int32), step_win_b.astype(np.int32),
+            waste, body_mask)
+
+
 def coo_to_ehyb(m_reordered: MatrixCOO, reordering: Reordering, plan: Plan,
                 config: EhybConfig) -> EhybMatrix:
     """Convert a *reordered* COO matrix into :class:`EhybMatrix`.
@@ -472,7 +715,8 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
     # partition-window pass only runs for the windowed layouts.)
     n_rows_padded = round_up(max(dim, 1), C)
     step_win_mw = None
-    if config.body_layout != "sell_mw":
+    step_win_b = np.zeros(0, dtype=np.int32)
+    if config.body_layout not in ("sell_mw", "sell_rx"):
         part_of_row = np.searchsorted(boundaries, row, side="right") - 1
         win_start = boundaries[part_of_row]
         in_win = (col >= win_start) & (col < win_start + W)
@@ -483,7 +727,7 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         is_long_entry = er_mask & long_row_mask_per_row[row]
         er_only = er_mask & ~long_row_mask_per_row[row]
 
-    if config.body_layout == "sell_mw":
+    if config.body_layout in ("sell_mw", "sell_rx"):
         # Dense rows STAY in the body: the density sort clusters them into
         # shared slices whose groups pack densely, and the long-row stream's
         # XLA global gather costs ~14 cyc/element (measured powerlaw_16k
@@ -498,11 +742,17 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         body_in = ~long_pre
         # Multi-window: the packer itself decides body vs ER per
         # (slice, window) group; re-derive the masks from its decision.
-        (ell_col, ell_val, slice_offset, step_win_mw, waste_ell,
-         body_mask_in) = _sell_pack_multiwindow(
-            row[body_in], col[body_in], val[body_in], n_rows_padded, C,
-            config, cdt, vdt, sliding=bool(config.sliding_windows),
-            col_range=body_col_range)
+        if config.body_layout == "sell_rx":
+            (ell_col, ell_val, slice_offset, step_win_mw, step_win_b,
+             waste_ell, body_mask_in) = _sell_pack_relaxed(
+                row[body_in], col[body_in], val[body_in], n_rows_padded, C,
+                config, cdt, vdt, col_range=body_col_range)
+        else:
+            (ell_col, ell_val, slice_offset, step_win_mw, waste_ell,
+             body_mask_in) = _sell_pack_multiwindow(
+                row[body_in], col[body_in], val[body_in], n_rows_padded, C,
+                config, cdt, vdt, sliding=bool(config.sliding_windows),
+                col_range=body_col_range)
         body_mask = np.zeros(row.shape[0], dtype=bool)
         body_mask[body_in] = body_mask_in
         er_mask = ~body_mask & ~long_pre
@@ -591,6 +841,7 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         ell_val = np.zeros((0, C), dtype=vdt)
         slice_offset = np.zeros(n_slices + 1, dtype=np.int32)
         step_win = np.zeros(0, dtype=np.int32)
+        step_win_b = step_win_b[:0]
         waste_ell = 0
     assert nnz_dia + nnz_ell + nnz_er + nnz_long == nnz_total, \
         "nnz conservation violated (cf. convert.c:140)"
@@ -612,6 +863,7 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         "er_steps": int(er_col.shape[0]),
         "window_rows": W,
         "n_parts": n_parts,
+        "layout": config.body_layout,
     }
     log.info("COO2EHYB: nnz=%d → DIA %d (%.1f%%, %d diags) | ELL %d (%.1f%%, "
              "waste %.1f%%) | ER %d | long %d (rows: %d slices, %d ER rows, "
@@ -628,6 +880,7 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         slice_offset=slice_offset.astype(np.int32),
         slice_win_start=slice_win_start,
         step_win=step_win.astype(np.int32),
+        step_win_b=step_win_b.astype(np.int32),
         er_col=er_col, er_val=er_val,
         er_slice_offset=er_slice_offset.astype(np.int32), er_rows=er_rows,
         long_col=long_col, long_val=long_val, long_seg=long_seg,
@@ -643,6 +896,7 @@ def ehyb_to_dense(e: EhybMatrix) -> np.ndarray:
     A = np.zeros((dim + 1, dim), dtype=np.float64)  # +1 = ER dump row safety
     C = e.ell_col.shape[1] if e.ell_col.ndim == 2 else 0
 
+    rx = e.step_win_b.size > 0
     for s in range(e.n_slices):
         lo, hi = int(e.slice_offset[s]), int(e.slice_offset[s + 1])
         for k in range(lo, hi):
@@ -651,7 +905,17 @@ def ehyb_to_dense(e: EhybMatrix) -> np.ndarray:
                 v = float(e.ell_val[k, lane])
                 if v != 0.0:
                     r = s * C + lane
-                    A[r, win + int(e.ell_col[k, lane])] += v
+                    if rx:
+                        # relaxed lo-slot layout: the entry's lo bits live at
+                        # its lane; the (sel, hi) bits live at lane == lo
+                        lo_bits = int(e.ell_col[k, lane]) & 127
+                        attr = int(e.ell_col[k, lo_bits])
+                        base = int(e.step_win_b[k]) if (attr >> 10) & 1 \
+                            else win
+                        c = base + (((attr >> 7) & 7) << 7) + lo_bits
+                    else:
+                        c = win + int(e.ell_col[k, lane])
+                    A[r, c] += v
 
     CE = e.er_col.shape[1] if e.er_col.ndim == 2 else 0
     for s in range(e.n_er_slices):

@@ -93,6 +93,13 @@ class EhybMatrix:
     #: (n_long,) int32 — true row ids of long rows.
     long_rows: np.ndarray
 
+    #: (ell_steps,) int32 — SECOND x-window start row per width-step, for the
+    #: relaxed lo-slot layout (``sell_rx``): each sub-tile carries a window
+    #: PAIR and the packed index's bit 10 selects A vs B.  Empty for the
+    #: chunk-synchronized layouts (kernel uses ``step_win`` alone).
+    step_win_b: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int32))
+
     # --- DIA body (TPU-native; extracted before SELL packing) ---
     #: (K,) int64 — diagonal offsets d (col = row + d), sorted ascending.
     #: Static metadata on device (baked into the jitted apply as slice starts).
@@ -148,6 +155,7 @@ class EhybMatrix:
             slice_offset=jnp.asarray(self.slice_offset),
             slice_win_start=jnp.asarray(self.slice_win_start),
             step_win=jnp.asarray(self.step_win),
+            step_win_b=jnp.asarray(self.step_win_b),
             er_col=jnp.asarray(self.er_col),
             er_val=cast(self.er_val),
             er_slice_offset=jnp.asarray(self.er_slice_offset),
@@ -159,6 +167,7 @@ class EhybMatrix:
             dia_val=cast(self.dia_val),
             dia_offsets=tuple(int(d) for d in self.dia_offsets),
             body_nnz=int(self.stats.get("nnz_ell", self.ell_val.size)),
+            rx_body=bool(self.step_win_b.size),
         )
 
     # -- serialization (the reference never caches its converted format; we do,
@@ -170,7 +179,7 @@ class EhybMatrix:
             window_rows=self.window_rows, n_parts=self.n_parts,
             ell_col=self.ell_col, ell_val=self.ell_val,
             slice_offset=self.slice_offset, slice_win_start=self.slice_win_start,
-            step_win=self.step_win,
+            step_win=self.step_win, step_win_b=self.step_win_b,
             er_col=self.er_col, er_val=self.er_val,
             er_slice_offset=self.er_slice_offset, er_rows=self.er_rows,
             long_col=self.long_col, long_val=self.long_val,
@@ -186,6 +195,8 @@ class EhybMatrix:
         extra = {}
         if "dia_offsets" in z:  # older caches predate the DIA body
             extra = dict(dia_offsets=z["dia_offsets"], dia_val=z["dia_val"])
+        if "step_win_b" in z:
+            extra["step_win_b"] = z["step_win_b"]
         stats = {}
         if "stats_json" in z:
             stats = __import__("json").loads(bytes(z["stats_json"]).decode())
@@ -216,6 +227,8 @@ class EhybDevice:
     slice_offset: Any
     slice_win_start: Any
     step_win: Any
+    #: Second per-step window start (relaxed lo-slot layout; empty otherwise).
+    step_win_b: Any
     er_col: Any
     er_val: Any
     er_slice_offset: Any
@@ -232,23 +245,27 @@ class EhybDevice:
     #: Static SELL-body nnz: 0 lets the applies skip the body entirely
     #: (everything went to DIA/ER/long).
     body_nnz: int = -1
+    #: Static flag: the body uses the relaxed lo-slot (dual-window) layout.
+    rx_body: bool = False
 
     _ARRAY_FIELDS = ("ell_col", "ell_val", "slice_offset", "slice_win_start",
-                     "step_win",
+                     "step_win", "step_win_b",
                      "er_col", "er_val", "er_slice_offset", "er_rows",
                      "long_col", "long_val", "long_seg", "long_rows",
                      "dia_val")
 
     def tree_flatten(self):
         leaves = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
-        aux = (self.dim, self.window_rows, self.dia_offsets, self.body_nnz)
+        aux = (self.dim, self.window_rows, self.dia_offsets, self.body_nnz,
+               self.rx_body)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        dim, window_rows, dia_offsets, body_nnz = aux
+        dim, window_rows, dia_offsets, body_nnz, rx_body = aux
         return cls(dim, window_rows, *leaves,
-                   dia_offsets=dia_offsets, body_nnz=body_nnz)
+                   dia_offsets=dia_offsets, body_nnz=body_nnz,
+                   rx_body=rx_body)
 
 
 def _register_pytree() -> None:

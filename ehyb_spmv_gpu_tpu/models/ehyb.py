@@ -52,6 +52,14 @@ log = get_logger(__name__)
 VMEM_PRESTAGE_LIMIT = int(os.environ.get(
     "EHYB_PRESTAGE_LIMIT_BYTES", 100 * 1024 * 1024))
 
+#: Measured VPU cost per (8,128) vreg of the two SELL bodies on v5e (const
+#: mode): chunk-sync two-stage gather vs relaxed dual-window (one extra
+#: sublane gather + select).  Used to arbitrate the relax_body='auto' switch.
+_CYC_MW_VREG = 22.0
+_CYC_RX_VREG = 27.0
+#: Chunk-sync padding fraction above which the relaxed conversion is tried.
+_RELAX_WASTE_GATE = 0.25
+
 
 class EhybXlaSpmv(SpmvModel):
     """EHYB pipeline with the pure-XLA apply (reference semantics everywhere)."""
@@ -88,7 +96,7 @@ class EhybXlaSpmv(SpmvModel):
                 self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
                 self._finish_setup()
                 return self
-        if cfg.body_layout == "sell_mw" and cfg.features.reorder:
+        if cfg.body_layout in ("sell_mw", "sell_rx") and cfg.features.reorder:
             from ..core.ordering import pick_ordering
 
             self.reordering: Reordering = pick_ordering(
@@ -112,6 +120,20 @@ class EhybXlaSpmv(SpmvModel):
 
         m_r = self.reordering.apply_to_matrix(m)
         self.ehyb: EhybMatrix = coo_to_ehyb(m_r, self.reordering, self.plan, cfg)
+        if cfg.body_layout == "sell_mw" and cfg.relax_body == "auto":
+            st = self.ehyb.stats
+            cells = st["nnz_ell"] + st["waste_ell"]
+            if st["nnz_ell"] > 0 and st["waste_ell"] > _RELAX_WASTE_GATE * cells:
+                cfg_rx = dataclasses.replace(cfg, body_layout="sell_rx")
+                e_rx = coo_to_ehyb(m_r, self.reordering, self.plan, cfg_rx)
+                # Keep the cheaper body by the measured per-vreg cycle model
+                # (relaxed pays one extra sublane gather + select per vreg).
+                if (e_rx.stats["ell_steps"] * _CYC_RX_VREG
+                        < st["ell_steps"] * _CYC_MW_VREG):
+                    log.info("relaxed body wins: %d → %d ell steps",
+                             st["ell_steps"], e_rx.stats["ell_steps"])
+                    self.ehyb = e_rx
+                    self.config = cfg = cfg_rx
         if cfg.artifact_cache:
             from ..core.cache import save_artifacts
 
@@ -164,7 +186,8 @@ class EhybSpmv(EhybXlaSpmv):
             # partition-window constraint; window_rows stays at the native
             # 1024-span for planner/reorder purposes.
             layout = self.config.body_layout \
-                if self.config.body_layout == "sell_cs" else "sell_mw"
+                if self.config.body_layout in ("sell_cs", "sell_rx") \
+                else "sell_mw"
             feats = self.config.features
             if layout == "sell_mw" and feats.sort_mode == "density":
                 feats = dataclasses.replace(feats, sort_mode="pattern")

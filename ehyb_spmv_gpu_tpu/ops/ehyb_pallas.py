@@ -137,10 +137,44 @@ def _sell_body_kernel_stream(win_row_ref, col_ref, val_ref, x_ref, y_ref):
         y_ref[0, i, :] = jnp.sum(part, axis=0)
 
 
+def _sell_body_kernel_stream_rx(win_a_ref, win_b_ref, col_ref, val_ref,
+                                x_ref, y_ref):
+    """Streamed body for the relaxed lo-slot layout (``sell_rx``).
+
+    Same structure as :func:`_sell_body_kernel_stream`, but each sub-tile
+    carries TWO 1024-row x windows and ``ell_col`` packs
+    ``(sel << 10) | (hi << 7) | lo``: the sublane gather resolves the per-slot
+    chunk from window A and B, a select picks between them, and the lane
+    gather by ``lo`` routes each column's element to its entry's lane.  The
+    dynamic_gather feasibility needs only per-slot chunk consistency —
+    verified on hardware (scripts/probe_wide_gather.py) — which is what lets
+    the packer place mixed-chunk entries in one step (5-10x less padding on
+    scattered matrices than chunk-sync).
+    """
+    t = pl.program_id(0)
+    for i in range(STREAM_SUBTILES):
+        wa = x_ref[pl.ds(win_a_ref[t * STREAM_SUBTILES + i], WIN_ROWS), :]
+        wb = x_ref[pl.ds(win_b_ref[t * STREAM_SUBTILES + i], WIN_ROWS), :]
+        idx = col_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :].astype(jnp.int32)
+        hi = jax.lax.bitwise_and(jax.lax.shift_right_logical(idx, 7), 7)
+        sel = jax.lax.shift_right_logical(idx, 10)
+        lo = jax.lax.bitwise_and(idx, 127)
+        ra = jnp.take_along_axis(wa, hi, axis=0)
+        rb = jnp.take_along_axis(wb, hi, axis=0)
+        rows = jnp.where(sel == 1, rb, ra)
+        g = jnp.take_along_axis(rows, lo, axis=1)
+        part = val_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :] * g
+        y_ref[0, i, :] = jnp.sum(part, axis=0)
+
+
 def build_stream_maps(e: EhybMatrix):
     """Host metadata for the streamed body: per-sub-tile window rows and the
     sub-tile → slice segment ids (padding sub-tiles map to the dump slice
-    ``n_slices``).  Steps are padded to a whole number of stream tiles."""
+    ``n_slices``).  Steps are padded to a whole number of stream tiles.
+
+    Returns (sub_win, sub_win_b, sub_slice, n_tiles); ``sub_win_b`` is None
+    for the chunk-sync layouts and the second window-row map for ``sell_rx``.
+    """
     widths = np.diff(e.slice_offset.astype(np.int64))
     if not np.all(widths % TILE_STEPS == 0):
         raise ValueError("slice widths must be multiples of 8")
@@ -153,11 +187,18 @@ def build_stream_maps(e: EhybMatrix):
     n_tiles = max(1, -(-n_sub // spt))
     sub_win = np.zeros(n_tiles * spt, dtype=np.int32)
     sub_win[:n_sub] = (sw[:, 0] // LANES).astype(np.int32)
+    sub_win_b = None
+    if e.step_win_b.size:
+        swb = e.step_win_b.astype(np.int64).reshape(-1, TILE_STEPS)
+        if not np.all(swb == swb[:, :1]):
+            raise ValueError("window B must be constant per 8-step sub-tile")
+        sub_win_b = np.zeros(n_tiles * spt, dtype=np.int32)
+        sub_win_b[:n_sub] = (swb[:, 0] // LANES).astype(np.int32)
     sub_slice = np.full(n_tiles * spt, e.n_slices, dtype=np.int32)  # dump
     step_slice = np.repeat(np.arange(e.n_slices, dtype=np.int32),
                            widths // TILE_STEPS)
     sub_slice[:n_sub] = step_slice
-    return sub_win, sub_slice, n_tiles
+    return sub_win, sub_win_b, sub_slice, n_tiles
 
 
 def build_tile_maps(e: EhybMatrix, steps_per_tile: int):
@@ -260,24 +301,34 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
         return apply_nobody
 
     if streaming and resident:
-        sub_win, sub_slice, n_tiles = build_stream_maps(e)
+        sub_win, sub_win_b, sub_slice, n_tiles = build_stream_maps(e)
         if sub_win.shape[0] * 4 <= _SMEM_PREFETCH_BUDGET:
             spt = STREAM_SUBTILES * TILE_STEPS
             n_slices_dump = n_slices + 1
-            aux = (jnp.asarray(sub_win),)
+            rx = sub_win_b is not None
+            if rx:
+                aux = (jnp.asarray(sub_win), jnp.asarray(sub_win_b))
+                idx_map = lambda t, wa, wb: (t, 0)  # noqa: E731
+                out_map = lambda t, wa, wb: (t, 0, 0)  # noqa: E731
+                kernel_fn = _sell_body_kernel_stream_rx
+            else:
+                aux = (jnp.asarray(sub_win),)
+                idx_map = lambda t, wr: (t, 0)  # noqa: E731
+                out_map = lambda t, wr: (t, 0, 0)  # noqa: E731
+                kernel_fn = _sell_body_kernel_stream
             sub_slice_dev = jnp.asarray(sub_slice)
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=len(aux),
                 grid=(n_tiles,),
                 in_specs=[
-                    pl.BlockSpec((spt, LANES), lambda t, wr: (t, 0),
+                    pl.BlockSpec((spt, LANES), idx_map,
                                  memory_space=pltpu.VMEM),      # col
-                    pl.BlockSpec((spt, LANES), lambda t, wr: (t, 0),
+                    pl.BlockSpec((spt, LANES), idx_map,
                                  memory_space=pltpu.VMEM),      # val
                     pl.BlockSpec(memory_space=pltpu.VMEM),      # x resident
                 ],
                 out_specs=pl.BlockSpec((1, STREAM_SUBTILES, LANES),
-                                       lambda t, wr: (t, 0, 0),
+                                       out_map,
                                        memory_space=pltpu.VMEM),
             )
             nnz_body = e.stats.get("nnz_ell", e.ell_val.size)
@@ -289,7 +340,7 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                     + e.dim * 2 * vbytes),
                 transcendentals=0)
             stream_call = pl.pallas_call(
-                _sell_body_kernel_stream, grid_spec=grid_spec,
+                kernel_fn, grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct(
                     (n_tiles, STREAM_SUBTILES, LANES), vdt),
                 cost_estimate=cost, interpret=interpret,
@@ -308,12 +359,26 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                                     ehyb_long_xla(dev, x_pad),
                                     dia_phase(dev, x_pad))
 
-            log.info("pallas SELL body [streamed v3]: %d tiles of %d steps, "
-                     "%d slices", n_tiles, spt, n_slices)
+            log.info("pallas SELL body [streamed v3%s]: %d tiles of %d steps, "
+                     "%d slices", " rx" if rx else "", n_tiles, spt, n_slices)
             return apply_stream
         log.warning("streamed body wanted but %d sub-tiles exceed the SMEM "
                     "prefetch budget; using the per-slice tile path",
                     sub_win.shape[0])
+
+    if e.step_win_b.size:
+        # Relaxed layout without the streamed body (x not VMEM-resident or
+        # SMEM budget exceeded): the per-slice tile kernels do not decode the
+        # packed lo-slot indices — use the XLA formulation, which does.
+        def apply_xla_rx(dev: EhybDevice, x_pad: jax.Array) -> jax.Array:
+            from ..ops.xla_ops import ehyb_body_xla
+
+            return combine_ehyb(dev, ehyb_body_xla(dev, x_pad),
+                                ehyb_er_xla(dev, x_pad),
+                                ehyb_long_xla(dev, x_pad),
+                                dia_phase(dev, x_pad))
+        log.warning("sell_rx body outside the streamed path: XLA fallback")
+        return apply_xla_rx
 
     # Scalar-prefetch SMEM budget: per-subtile window rows + 2 per-tile maps
     # (resident) / 3 per-tile maps (windowed).  ~1.5M body width-steps is the

@@ -97,7 +97,23 @@ def ehyb_body_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
     if n_steps == 0 or e.body_nnz == 0:
         return jnp.zeros(n_slices * C, dtype=x_pad.dtype)
     step_slice = _step_slice_ids(e.slice_offset, n_steps)
-    gidx = e.step_win[:, None].astype(jnp.int32) + e.ell_col.astype(jnp.int32)
+    if e.rx_body:
+        # Relaxed lo-slot layout (sell_rx): ell_col packs
+        # (sel << 10) | (hi << 7) | lo; (sel, hi) at lane j describe LO-SLOT j,
+        # lo is the entry's own low column bits.  The gathered element of the
+        # entry at lane l is  win_{sel(lo_l)}[hi(lo_l)*128 + lo_l]  — exactly
+        # what the two-stage dynamic_gather computes in the Pallas kernel.
+        idx = e.ell_col.astype(jnp.int32)
+        lo = idx & 127
+        slot_attr = jnp.take_along_axis(idx, lo, axis=1)
+        sel = (slot_attr >> 10) & 1
+        hi = (slot_attr >> 7) & 7
+        base = jnp.where(sel == 1, e.step_win_b[:, None],
+                         e.step_win[:, None]).astype(jnp.int32)
+        gidx = base + (hi << 7) + lo
+    else:
+        gidx = e.step_win[:, None].astype(jnp.int32) \
+            + e.ell_col.astype(jnp.int32)
     contrib = e.ell_val.astype(x_pad.dtype) * jnp.take(x_pad, gidx, axis=0)
     # Barrier: the XLA TPU fusion emitter CHECK-fails when this gather fuses
     # into the segment-sum scatter (fusion_emitter.cc "kSublaneGather").

@@ -208,7 +208,7 @@ def _shard_body(sh_meta, x_shard, ell_col, ell_val, slice_offset,
         dim=R, window_rows=W,
         ell_col=ell_col[0], ell_val=ell_val[0],
         slice_offset=slice_offset[0], slice_win_start=slice_win_start[0],
-        step_win=step_win[0],
+        step_win=step_win[0], step_win_b=step_win[0][:0],
         er_col=er_col[0], er_val=er_val[0],
         er_slice_offset=er_slice_offset[0], er_rows=er_rows[0],
         long_col=long_col[0], long_val=long_val[0],
