@@ -39,7 +39,7 @@ def matrix_fingerprint(m: MatrixCOO) -> str:
 
 #: Bump on ANY converter/reorderer semantic change — cached artifacts encode
 #: the conversion algorithm, not just its inputs.
-FORMAT_VERSION = 3  # 3: sell_rx relaxed layout + step_win_b
+FORMAT_VERSION = 4  # 4: sell_rx + unaligned ER packing
 
 
 def config_fingerprint(cfg: EhybConfig) -> str:

@@ -802,10 +802,13 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
     if n_er_rows:
         packed_of_row = np.full(dim, -1, dtype=np.int64)
         packed_of_row[er_row_ids] = np.arange(n_er_rows)
+        # ER runs through the XLA global gather, which prices every padded
+        # cell at the measured ~14 cyc/element — pack with width_align=1
+        # (no kernel tiling constraint applies to the ER arrays; measured
+        # 33 us/iter burned on gathering padding at width_align=32).
         er_col, er_val, er_slice_offset, waste_er = _sell_pack(
             packed_of_row[er_row], col[er_only].astype(np.int64), val[er_only],
-            n_er_rows_padded, config.er_slice_rows, config.width_align,
-            np.int32, vdt)
+            n_er_rows_padded, config.er_slice_rows, 1, np.int32, vdt)
         er_rows = np.full(n_er_rows_padded, dim, dtype=np.int32)  # dump row pad
         er_rows[:n_er_rows] = er_row_ids.astype(np.int32)
     else:
