@@ -85,13 +85,40 @@ class ShardedEhyb:
     dia_offsets: tuple = ()
     dia_val: np.ndarray = None   # (D, K_union, R)
 
+    # --- compressed halo exchange (replaces the all_gather of x) ---
+    #: (D, D, S) int32 — send_idx[o, d] = LOCAL x indices owner o sends to
+    #: requester d (padded with 0; padding values are ignored by the
+    #: remapped ER/long columns).  S = max request size over all (d, o)
+    #: pairs; S == 0 means every ER/long column is within the ±W halo and
+    #: no exchange is needed.  Received bytes per device = D*S*4 ∝ the
+    #: worst per-pair cut, NOT the dimension (the all_gather it replaces
+    #: moved D*R*4 regardless of structure).
+    send_idx: np.ndarray = None
+    exchange_slots: int = 0      # S
+
+    # --- streamed-Pallas body metadata (None when the XLA body is used) ---
+    #: (D, n_sub) int32 per-sub-tile x2d window rows (into the EXTENDED x).
+    stream_win: np.ndarray = None
+    #: (D, n_sub) int32 slice-start reset flags.
+    stream_reset: np.ndarray = None
+    #: (D, n_slices) int32 sub-tile whose running sum closes each slice.
+    stream_last: np.ndarray = None
+    stream_tiles: int = 0        # common grid size
+
     stats: dict = dataclasses.field(default_factory=dict)
 
 
 def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
-                  n_dev: int, config: EhybConfig) -> ShardedEhyb:
+                  n_dev: int, config: EhybConfig,
+                  stream_maps: bool = False) -> ShardedEhyb:
     """Slice the reordered matrix into D row spans and convert each span with
-    device-local row/window coordinates; pad + stack to uniform shapes."""
+    device-local row/window coordinates; pad + stack to uniform shapes.
+
+    ``stream_maps``: additionally build the per-shard streamed-kernel
+    metadata (window rows / reset flags / closing sub-tiles) so the SPMD
+    body can run the fused Pallas kernel instead of the XLA formulation —
+    requires a chunk-synchronized ``body_layout`` (``sell_mw``/``sell_cs``).
+    """
     dim = m_r.dimension
     R = round_up(cdiv(dim, n_dev), LANES)
     W = min(window_rows, R)  # halo is one neighbor deep: window ≤ shard span
@@ -133,9 +160,79 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         e.long_col = (e.long_col.astype(np.int64) + b0).astype(np.int32)
         shards.append(e)
 
+    # ---- compressed halo exchange plan (SURVEY §5/§7: the distributed
+    # analog of the cached/global phase split, kernel.cu:150-168 vs 169-194;
+    # replaces the O(dim) all_gather with per-pair request lists whose size
+    # is the actual cut) ----
+    XLEN = R + 2 * W
+    needs = []
+    for d, s in enumerate(shards):
+        b0 = d * R
+        cols = []
+        if s.er_col.size:
+            cols.append(s.er_col[np.asarray(s.er_val) != 0].astype(np.int64))
+        if s.long_col.size:
+            cols.append(s.long_col[np.asarray(s.long_val) != 0]
+                        .astype(np.int64))
+        cols = np.concatenate(cols) if cols else np.zeros(0, np.int64)
+        off = cols[(cols < b0 - W) | (cols >= b0 + R + W)]
+        needs.append(np.unique(off))
+    req = [[needs[d][needs[d] // R == o] for o in range(n_dev)]
+           for d in range(n_dev)]
+    req_sizes = np.array([[req[d][o].shape[0] for o in range(n_dev)]
+                          for d in range(n_dev)], dtype=np.int64)
+    S = int(req_sizes.max(initial=0))
+    send_idx = np.zeros((n_dev, n_dev, max(S, 1)), dtype=np.int32)
+    for o in range(n_dev):
+        for d in range(n_dev):
+            r = req[d][o]
+            send_idx[o, d, : r.shape[0]] = (r - o * R).astype(np.int32)
+
+    def remap_cols(col_arr: np.ndarray, d: int) -> np.ndarray:
+        """Global columns → indices into [x_ext (R+2W) | recv (D*S)]."""
+        b0 = d * R
+        c = col_arr.astype(np.int64)
+        out = c - b0 + W
+        off_m = (c < b0 - W) | (c >= b0 + R + W)
+        if off_m.any():
+            co = c[off_m]
+            o = co // R
+            pos = np.empty(co.shape[0], dtype=np.int64)
+            for oo in np.unique(o):
+                mm = o == oo
+                pos[mm] = np.searchsorted(req[d][int(oo)], co[mm])
+            out[off_m] = XLEN + o * S + pos
+        return out.astype(np.int32)
+
+    for d, s in enumerate(shards):
+        s.er_col = remap_cols(s.er_col, d)
+        s.long_col = remap_cols(s.long_col, d)
+
+    # ---- streamed-Pallas body metadata (per shard, padded to one grid) ----
+    stream = None
+    if stream_maps:
+        from ..ops.ehyb_pallas import STREAM_SUBTILES, TILE_STEPS, \
+            build_stream_maps
+
+        per = [build_stream_maps(s) for s in shards]
+        n_tiles_c = max(t for *_, t in per)
+        n_sub_c = n_tiles_c * STREAM_SUBTILES
+        n_slices_c = shards[0].n_slices  # uniform: every shard has R rows
+        stream_win = np.zeros((n_dev, n_sub_c), dtype=np.int32)
+        stream_reset = np.ones((n_dev, n_sub_c), dtype=np.int32)
+        stream_last = np.zeros((n_dev, n_slices_c), dtype=np.int32)
+        for i, (w, _wb, _ss, rs, ls, _t) in enumerate(per):
+            stream_win[i, : w.shape[0]] = w
+            stream_reset[i, : rs.shape[0]] = rs
+            stream_last[i] = ls
+        stream = (stream_win, stream_reset, stream_last, n_tiles_c,
+                  n_tiles_c * STREAM_SUBTILES * TILE_STEPS)
+
     # ---- pad to common shapes + stack ----
     C = config.slice_rows
     steps = max(max(s.ell_col.shape[0] for s in shards), 1)
+    if stream is not None:
+        steps = max(steps, stream[4])  # whole stream tiles for the kernel
     er_steps = max(max(s.er_col.shape[0] for s in shards), 1)
     n_er_slices = max(max(s.n_er_slices for s in shards), 1)
     n_long = max(max(s.n_long for s in shards), 1)
@@ -168,28 +265,83 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
                                                  s.n_slices, steps)),
         slice_win_start=stack(lambda s: s.slice_win_start),
         step_win=stack(lambda s: _pad_rows(s.step_win, steps, fill=0)),
-        er_col=stack(lambda s: _pad_rows(s.er_col, er_steps)),
+        er_col=stack(lambda s: _pad_rows(s.er_col, er_steps, fill=W)),
         er_val=stack(lambda s: _pad_rows(s.er_val, er_steps)),
         er_slice_offset=stack(lambda s: pad_offsets(s.er_slice_offset,
                                                     n_er_slices, er_steps)),
         er_rows=stack(lambda s: _pad_rows(
             s.er_rows, n_er_slices * config.er_slice_rows, fill=R)),
-        long_col=stack(lambda s: _pad_rows(s.long_col, n_long_entries)),
+        long_col=stack(lambda s: _pad_rows(s.long_col, n_long_entries,
+                                           fill=W)),
         long_val=stack(lambda s: _pad_rows(s.long_val, n_long_entries)),
         long_seg=stack(lambda s: _pad_rows(s.long_seg, n_long_entries,
                                            fill=n_long - 1)),
         long_rows=stack(lambda s: _pad_rows(s.long_rows, n_long, fill=R)),
         dia_offsets=tuple(union), dia_val=dia_val,
-        stats={"per_dev": [s.stats for s in shards], "R": R, "W": W},
+        send_idx=send_idx, exchange_slots=S,
+        stream_win=stream[0] if stream else None,
+        stream_reset=stream[1] if stream else None,
+        stream_last=stream[2] if stream else None,
+        stream_tiles=stream[3] if stream else 0,
+        stats={"per_dev": [s.stats for s in shards], "R": R, "W": W,
+               "exchange_slots": S, "req_sizes": req_sizes.tolist()},
     )
     return sh
 
 
-def _shard_body(sh_meta, x_shard, ell_col, ell_val, slice_offset,
-                slice_win_start, step_win, er_col, er_val, er_slice_offset,
-                er_rows, long_col, long_val, long_seg, long_rows, dia_val):
-    """Per-device SPMD body (runs under shard_map; axis name AXIS)."""
-    R, W, n_dev, dia_offsets, body_nnz = sh_meta
+def _stream_body_pallas(a, x_ext, meta):
+    """Fused Pallas SELL body inside the SPMD shard (VERDICT r1 #3): the
+    same streamed kernel as the single-chip flagship, with the scalar
+    prefetch maps as SHARDED OPERANDS (each device prefetches its own
+    window/reset tables).  x_ext (R+2W) is VMEM-resident per shard — the
+    distributed analog of the cached phase (``kernel.cu:150-168``)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..ops.ehyb_pallas import (STREAM_SUBTILES, TILE_STEPS, _VMEM_LIMIT,
+                                   _sell_body_kernel_stream)
+
+    n_tiles, interpret, n_slices = meta
+    spt = STREAM_SUBTILES * TILE_STEPS
+    vdt = x_ext.dtype
+    idx_map = lambda t, wr, rs: (t, 0)  # noqa: E731
+    out_map = lambda t, wr, rs: (t, 0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((spt, LANES), idx_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((spt, LANES), idx_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, STREAM_SUBTILES, LANES), out_map,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, LANES), vdt)],
+    )
+    call = pl.pallas_call(
+        _sell_body_kernel_stream, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, STREAM_SUBTILES, LANES), vdt),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
+    # One extra zero window: shard-local window starts are aligned to the
+    # (possibly negative) minimum chunk, so a top-edge window's fixed
+    # 1024-row slice can run past x_ext — the dynamic slice would CLAMP and
+    # silently shift the window base.  Real entries never gather from the
+    # pad (their hi stays within their own column's chunk).
+    x_ext = jnp.concatenate(
+        [x_ext, jnp.zeros(8 * LANES, dtype=x_ext.dtype)])
+    x2d = x_ext.reshape(-1, LANES)
+    y3 = call(a["stream_win"][0], a["stream_reset"][0],
+              a["ell_col"][0][: n_tiles * spt],
+              a["ell_val"][0][: n_tiles * spt], x2d)
+    return jnp.take(y3.reshape(-1, LANES), a["stream_last"][0],
+                    axis=0).reshape(-1)
+
+
+def _shard_body(sh_meta, x_shard, a):
+    """Per-device SPMD body (runs under shard_map; axis name AXIS).
+    ``a`` is the dict of stacked per-device arrays (leading axis sharded)."""
+    R, W, n_dev, dia_offsets, body_nnz, S, pallas_meta = sh_meta
     x_local = x_shard.reshape(-1)  # (R,)
 
     # Ring halos: left halo = last W rows of the left neighbor, right halo =
@@ -201,32 +353,53 @@ def _shard_body(sh_meta, x_shard, ell_col, ell_val, slice_offset,
                                   [(i + 1, i) for i in range(n_dev - 1)])
     x_ext = jnp.concatenate([left_halo, x_local, right_halo])  # (R + 2W,)
 
-    # Full x for the global-column phases (ER + long rows).
-    x_full = jax.lax.all_gather(x_local, AXIS, tiled=True)  # (D*R,)
+    # Compressed exchange for the global-column phases (ER + long rows):
+    # every device sends the x values each peer requested at convert time
+    # (send_idx) through one all_to_all; ER/long columns were remapped into
+    # [x_ext | recv] indices, so received bytes are D*S*4 ∝ the cut — the
+    # all_gather this replaces moved D*R*4 no matter the structure
+    # (kernel.cu:169-194's global phase, made cut-proportional).
+    if S > 0 and n_dev > 1:
+        payload = jnp.take(x_local, a["send_idx"][0].reshape(-1),
+                           axis=0).reshape(n_dev, S)
+        recv = jax.lax.all_to_all(payload, AXIS, split_axis=0, concat_axis=0)
+        x_cat = jnp.concatenate([x_ext, recv.reshape(-1)])
+    else:
+        x_cat = x_ext
 
     dev = EhybDevice(
         dim=R, window_rows=W,
-        ell_col=ell_col[0], ell_val=ell_val[0],
-        slice_offset=slice_offset[0], slice_win_start=slice_win_start[0],
-        step_win=step_win[0], step_win_b=step_win[0][:0],
-        er_col=er_col[0], er_val=er_val[0],
-        er_slice_offset=er_slice_offset[0], er_rows=er_rows[0],
-        long_col=long_col[0], long_val=long_val[0],
-        long_seg=long_seg[0], long_rows=long_rows[0],
-        dia_val=dia_val[0], dia_offsets=dia_offsets, body_nnz=body_nnz)
+        ell_col=a["ell_col"][0], ell_val=a["ell_val"][0],
+        slice_offset=a["slice_offset"][0],
+        slice_win_start=a["slice_win_start"][0],
+        step_win=a["step_win"][0], step_win_b=a["step_win"][0][:0],
+        er_col=a["er_col"][0], er_val=a["er_val"][0],
+        er_slice_offset=a["er_slice_offset"][0], er_rows=a["er_rows"][0],
+        long_col=a["long_col"][0], long_val=a["long_val"][0],
+        long_seg=a["long_seg"][0], long_rows=a["long_rows"][0],
+        dia_val=a["dia_val"][0], dia_offsets=dia_offsets, body_nnz=body_nnz)
 
-    y_body = ehyb_body_xla(dev, x_ext)       # windows into x_ext
-    y_er = ehyb_er_xla(dev, x_full)          # global columns
-    y_long = ehyb_long_xla(dev, x_full)
+    if pallas_meta is not None and body_nnz:
+        y_body = _stream_body_pallas(a, x_ext, pallas_meta)
+    else:
+        y_body = ehyb_body_xla(dev, x_ext)   # windows into x_ext
+    y_er = ehyb_er_xla(dev, x_cat)           # remapped ext+recv columns
+    y_long = ehyb_long_xla(dev, x_cat)
     y_dia = ehyb_dia_xla(dev, x_ext, x_base=W)  # ±W shifted slices of x_ext
     y = combine_ehyb(dev, y_body, y_er, y_long, y_dia)  # (R + LANES,)
     return y[:R].reshape(1, R)
 
 
 def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
-                       dtype: str = "float32"):
+                       dtype: str = "float32",
+                       pallas_mode: str = ""):
     """Returns (apply_fn, device_arrays): ``apply_fn(arrays, x_global)`` runs
-    the distributed SpMV; ``x_global`` is the reordered x padded to (D, R)."""
+    the distributed SpMV; ``x_global`` is the reordered x padded to (D, R).
+
+    ``pallas_mode``: "" = XLA body; "1" = fused Pallas streamed body;
+    "interpret" = Pallas in interpreter mode (CPU tests).  Requires
+    ``build_sharded(..., stream_maps=True)``.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     D, R, W = sh.n_dev, sh.rows_per_dev, sh.window_rows
@@ -237,6 +410,7 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
         return jax.device_put(arr, NamedSharding(mesh, spec_dev))
 
     arrays = dict(
+        send_idx=to_dev(sh.send_idx),
         ell_col=to_dev(sh.ell_col), ell_val=to_dev(sh.ell_val, cast=True),
         slice_offset=to_dev(sh.slice_offset),
         slice_win_start=to_dev(sh.slice_win_start),
@@ -247,19 +421,33 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
         long_seg=to_dev(sh.long_seg), long_rows=to_dev(sh.long_rows),
         dia_val=to_dev(sh.dia_val, cast=True),
     )
-    names = list(arrays)
+    pallas_meta = None
+    if pallas_mode:
+        if sh.stream_win is None:
+            raise ValueError("pallas_mode requires build_sharded(..., "
+                             "stream_maps=True)")
+        arrays.update(
+            stream_win=to_dev(sh.stream_win),
+            stream_reset=to_dev(sh.stream_reset),
+            stream_last=to_dev(sh.stream_last))
+        n_slices = sh.stream_last.shape[1]
+        pallas_meta = (sh.stream_tiles, pallas_mode == "interpret", n_slices)
 
     body_nnz = sum(s.get("nnz_ell", 1) for s in sh.stats.get("per_dev", [{}]))
-    body = partial(_shard_body, (R, W, D, sh.dia_offsets, body_nnz))
+    body = partial(_shard_body, (R, W, D, sh.dia_offsets, body_nnz,
+                                 sh.exchange_slots, pallas_meta))
 
     @jax.jit
     def apply_fn(arrs, x_global):
         x2 = x_global.reshape(D, R)
         f = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(AXIS, None),) + tuple(P(AXIS) for _ in names),
-            out_specs=P(AXIS, None))
-        y2 = f(x2, *[arrs[n] for n in names])
+            in_specs=(P(AXIS, None), {n: P(AXIS) for n in arrs}),
+            out_specs=P(AXIS, None),
+            # pallas_call outputs carry no varying-mesh-axes metadata; the
+            # body is hand-verified SPMD (every collective names AXIS)
+            check_vma=False)
+        y2 = f(x2, arrs)
         return y2.reshape(D * R)
 
     return apply_fn, arrays
@@ -280,6 +468,16 @@ class ShardedEhybSpmv(SpmvModel):
         self.mesh = mesh
         self.n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
+    def _pallas_mode(self) -> str:
+        import os
+
+        force = os.environ.get("EHYB_FORCE_PALLAS", "").lower()
+        if force in ("0", "false", "off", "no"):
+            return ""
+        if force:
+            return force  # "1" (compiled) or "interpret"
+        return "1" if jax.default_backend() == "tpu" else ""
+
     def setup(self, m: MatrixCOO) -> "ShardedEhybSpmv":
         self.m = m
         cfg = self.config
@@ -291,6 +489,20 @@ class ShardedEhybSpmv(SpmvModel):
         R = round_up(cdiv(dim, self.n_dev), LANES)
         base_plan = make_plan(dim, cfg)
         W = min(base_plan.window_rows, R)
+
+        # Fused Pallas streamed body inside the shard (VERDICT r1 #3): needs
+        # the chunk-synchronized multi-window layout and a full 1024-row
+        # window span (a capped W < 1024 means shards too small to matter).
+        from ..config import WINDOW_ALIGN
+
+        self._body_mode = self._pallas_mode() if W == WINDOW_ALIGN else ""
+        if self._body_mode and cfg.body_layout not in ("sell_mw", "sell_cs"):
+            idx_dtype = cfg.index_dtype
+            if idx_dtype == "int32":
+                idx_dtype = "int16"  # window-local cols < 1024
+            cfg = dataclasses.replace(cfg, body_layout="sell_mw",
+                                      index_dtype=idx_dtype)
+            self.config = cfg
         n_parts = max(self.n_dev, cdiv(dim, W))
         self.plan = Plan(dim=dim, n_parts=n_parts, window_rows=W,
                          part_align=LANES, padded_dim=round_up(dim, LANES) + W)
@@ -307,11 +519,15 @@ class ShardedEhybSpmv(SpmvModel):
 
         m_r = self.reordering.apply_to_matrix(m)
         self.sharded = build_sharded(m_r, self.reordering,
-                                     self.plan.window_rows, self.n_dev, cfg)
+                                     self.plan.window_rows, self.n_dev, cfg,
+                                     stream_maps=bool(self._body_mode))
         self._apply_fn, self._arrays = make_sharded_apply(
-            self.sharded, self.mesh, cfg.dtype)
-        log.info("sharded EHYB over %d devices: R=%d W=%d",
-                 self.n_dev, self.sharded.rows_per_dev, self.sharded.window_rows)
+            self.sharded, self.mesh, cfg.dtype, pallas_mode=self._body_mode)
+        log.info("sharded EHYB over %d devices: R=%d W=%d body=%s S=%d",
+                 self.n_dev, self.sharded.rows_per_dev,
+                 self.sharded.window_rows,
+                 "pallas" if self._body_mode else "xla",
+                 self.sharded.exchange_slots)
         return self
 
     def prepare_x(self, x: np.ndarray) -> jax.Array:

@@ -87,3 +87,75 @@ def test_sharded_sell_mw_layout(scrambled_mesh_4=None):
         x = deterministic_x(m.dimension)
         err = rel_error(model.matvec(x), oracle_spmv(m, x))
         assert err < 5e-6, (cfg.body_layout, cfg.er_slice_rows, err)
+
+
+def test_exchange_bytes_proportional_to_cut(scrambled, poisson_mid):
+    """VERDICT r1 #4 done-criterion: the ER/long collective moves bytes
+    proportional to the actual cut, not the dimension."""
+    # banded matrix kept in natural order: every column is within the +-W
+    # halo -> NO exchange (the partition reorder may scatter a few rows, so
+    # pin identity ordering for the zero-cut case)
+    import dataclasses
+    cfg0 = EhybConfig(window_rows=1024)
+    cfg0 = dataclasses.replace(
+        cfg0, features=dataclasses.replace(cfg0.features, reorder=False))
+    banded = ShardedEhybSpmv(cfg0, mesh=make_mesh(8)).setup(poisson_mid)
+    assert banded.sharded.exchange_slots == 0
+    cfg = EhybConfig(window_rows=1024)
+
+    # scrambled matrix: exchange sized by the worst per-pair request list,
+    # far below the all_gather's per-device R*(D-1) payload
+    scr = ShardedEhybSpmv(cfg, mesh=make_mesh(8)).setup(scrambled)
+    sh = scr.sharded
+    D, R, S = sh.n_dev, sh.rows_per_dev, sh.exchange_slots
+    req = np.array(sh.stats["req_sizes"])
+    assert S == req.max()
+    # every request must be covered (correctness already checked elsewhere)
+    # and the payload must be a small fraction of the all_gather volume
+    allgather_floats = (D - 1) * R
+    exchange_floats = D * S
+    assert exchange_floats < 0.5 * allgather_floats, (
+        exchange_floats, allgather_floats)
+    # received floats bounded by the true off-halo column count per device
+    per_dev = sh.stats["per_dev"]
+    total_er_long = sum(s["nnz_er"] + s["nnz_long"] for s in per_dev)
+    assert req.sum() <= total_er_long
+
+
+def test_exchange_collective_does_not_scale_with_dim():
+    """Growing dim with a fixed scrambled cut pattern must not grow the
+    collective payload the way all_gather's D*R does."""
+    cfg = EhybConfig(window_rows=1024)
+    sizes = {}
+    for k in (32, 64):
+        m = generate.permuted(generate.poisson2d(k), seed=5)
+        model = ShardedEhybSpmv(cfg, mesh=make_mesh(4)).setup(m)
+        sh = model.sharded
+        sizes[k] = (sh.rows_per_dev, sh.exchange_slots)
+    (r32, s32), (r64, s64) = sizes[32], sizes[64]
+    assert r64 >= 4 * r32  # dim grew 4x
+    # a scrambled stencil's cut grows ~linearly in nnz; what matters is the
+    # exchange stays well under the shard span the all_gather would move
+    assert s64 < r64, sizes
+
+
+def test_sharded_pallas_body_interpret(poisson_mid, monkeypatch):
+    """VERDICT r1 #3: the fused Pallas streamed body runs inside the SPMD
+    shard (interpret mode on the CPU mesh) and matches the oracle."""
+    monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
+    cfg = EhybConfig(window_rows=1024)
+    # shards must span >= one full 1024-row window: dim 4096 over 2 devices
+    model = ShardedEhybSpmv(cfg, mesh=make_mesh(2)).setup(poisson_mid)
+    assert model._body_mode == "interpret"
+    assert model.sharded.stream_win is not None
+    x = deterministic_x(poisson_mid.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(poisson_mid, x)) < 5e-6
+
+
+def test_sharded_pallas_body_scrambled(scrambled, monkeypatch):
+    monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
+    cfg = EhybConfig(window_rows=1024)
+    model = ShardedEhybSpmv(cfg, mesh=make_mesh(2)).setup(scrambled)
+    assert model._body_mode == "interpret"
+    x = deterministic_x(scrambled.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
