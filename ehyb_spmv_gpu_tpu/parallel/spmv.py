@@ -404,10 +404,19 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
 
     D, R, W = sh.n_dev, sh.rows_per_dev, sh.window_rows
     spec_dev = P(AXIS)  # shard leading device axis
+    multiproc = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
 
     def to_dev(a, cast=False):
-        arr = jnp.asarray(a, dtype=dtype) if cast else jnp.asarray(a)
-        return jax.device_put(arr, NamedSharding(mesh, spec_dev))
+        a = np.asarray(a, dtype=dtype) if cast else np.asarray(a)
+        sharding = NamedSharding(mesh, spec_dev)
+        if multiproc:
+            # Every process holds the full host arrays (conversion is
+            # replicated); hand each device its shard (jax.distributed path,
+            # SURVEY §4's multi-process CPU simulation prescription).
+            return jax.make_array_from_callback(
+                a.shape, sharding, lambda idx: a[idx])
+        return jax.device_put(jnp.asarray(a), sharding)
 
     arrays = dict(
         send_idx=to_dev(sh.send_idx),
@@ -530,6 +539,10 @@ class ShardedEhybSpmv(SpmvModel):
                  self.sharded.exchange_slots)
         return self
 
+    def _multiproc(self) -> bool:
+        return any(d.process_index != jax.process_index()
+                   for d in self.mesh.devices.flat)
+
     def prepare_x(self, x: np.ndarray) -> jax.Array:
         xr = self.reordering.vector_reorder(np.asarray(x))
         D, R = self.sharded.n_dev, self.sharded.rows_per_dev
@@ -537,10 +550,17 @@ class ShardedEhybSpmv(SpmvModel):
         xp[: self.m.n_rows] = xr
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return jax.device_put(jnp.asarray(xp),
-                              NamedSharding(self.mesh, P(AXIS)))
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        if self._multiproc():
+            return jax.make_array_from_callback(xp.shape, sharding,
+                                                lambda idx: xp[idx])
+        return jax.device_put(jnp.asarray(xp), sharding)
 
     def recover_y(self, y: jax.Array) -> np.ndarray:
+        if self._multiproc():
+            from jax.experimental import multihost_utils
+
+            y = multihost_utils.process_allgather(y, tiled=True)
         y_np = np.asarray(y, dtype=np.float64)[: self.m.n_rows]
         return self.reordering.vector_recover(y_np)
 

@@ -159,3 +159,23 @@ def test_sharded_pallas_body_scrambled(scrambled, monkeypatch):
     assert model._body_mode == "interpret"
     x = deterministic_x(scrambled.dimension)
     assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
+
+
+def test_multiprocess_two_hosts():
+    """SURVEY §4 / VERDICT r1 #5: two OS processes under jax.distributed
+    drive the full distributed pipeline and validate against the oracle.
+    Runs scripts/multihost.py (subprocess isolation: jax.distributed can
+    only initialize once per process)."""
+    import subprocess
+    import sys
+    import os
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "multihost.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    r = subprocess.run(
+        [sys.executable, script, "--procs", "2", "--devs-per-proc", "2"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "MULTIHOST OK" in r.stdout, r.stdout[-2000:]
