@@ -82,12 +82,21 @@ class CgSolver:
         self._prepare(m)
         b_dev = self.model.prepare_x(b)
         it_base = 0
+        # Checkpoints are keyed to the (matrix, b, tol) problem: a stale file
+        # from a DIFFERENT problem must not silently warm-start this one
+        # (advisor finding, round 1).
+        fp = _problem_fingerprint(m, b, tol)
         if checkpoint_path and os.path.exists(checkpoint_path):
             z = np.load(checkpoint_path)
-            x0 = z["x"]
-            it_base = int(z["iterations"])
-            log.info("CG: resuming from %s (iteration %d)", checkpoint_path,
-                     it_base)
+            if "fingerprint" in z and str(z["fingerprint"]) == fp:
+                x0 = z["x"]
+                it_base = int(z["iterations"])
+                log.info("CG: resuming from %s (iteration %d)",
+                         checkpoint_path, it_base)
+            else:
+                log.warning("CG: checkpoint %s belongs to a different "
+                            "problem (or predates fingerprints); ignoring",
+                            checkpoint_path)
         x_dev = (self.model.prepare_x(x0) if x0 is not None
                  else jnp.zeros_like(b_dev))
         minv = self._minv if self._minv is not None else jnp.ones_like(b_dev)
@@ -99,29 +108,40 @@ class CgSolver:
 
         seg = checkpoint_every or max_iters
         it_total = it_base
-        while True:
+        res2 = jnp.asarray(0.0, acc_dt)
+        while it_total < max_iters:
             budget = min(seg, max_iters - it_total)
+            # budget is a TRACED scalar: one compile serves every segment
+            # length and checkpoint cadence (the reference never recompiles
+            # its loop either, spmv.cu:100-116).
             x_dev, it_seg, res2 = self._solve_jit(
-                operands, x_dev, b_dev, minv, tol2, budget, n)
+                operands, x_dev, b_dev, minv, tol2, jnp.int32(budget), n)
             it_total += int(it_seg)
             if checkpoint_path:
                 tmp = checkpoint_path + ".tmp"
                 with open(tmp, "wb") as fh:   # write-then-rename: atomic
                     np.savez(fh, x=self.model.recover_y(x_dev),
-                             iterations=it_total)
+                             iterations=it_total, fingerprint=fp)
                 os.replace(tmp, checkpoint_path)
-            if int(it_seg) < budget or it_total >= max_iters:
+            if int(it_seg) < budget:
                 break
+        else:
+            # resume already at/over budget: report the true residual of the
+            # checkpointed x instead of a fabricated zero
+            _, _, res2 = self._solve_jit(operands, x_dev, b_dev, minv, tol2,
+                                         jnp.int32(0), n)
 
         x_host = self.model.recover_y(x_dev)
         res = float(np.sqrt(res2))
         converged = res <= tol * max(np.linalg.norm(b), 1e-300)
+        if converged and checkpoint_path and os.path.exists(checkpoint_path):
+            os.remove(checkpoint_path)  # done: nothing to resume
         log.info("CG: %d iterations, residual %.3e (%s)", it_total, res,
                  "converged" if converged else "NOT converged")
         return CgResult(x=x_host, iterations=it_total, residual_norm=res,
                         converged=converged)
 
-    @partial(jax.jit, static_argnums=(0, 6, 7))
+    @partial(jax.jit, static_argnums=(0, 7))
     def _solve_jit(self, operands, x, b, minv, tol2, max_iters, n):
         def matvec(v):
             return _resize_like(self.model.apply_operands(operands, v), v)
@@ -158,6 +178,19 @@ class CgSolver:
         x, r, z, p, rz, k = jax.lax.while_loop(
             cond, body, (x, r, z, p, rz, jnp.int32(0)))
         return x, k, dot(r, r)
+
+
+def _problem_fingerprint(m: MatrixCOO, b: np.ndarray, tol: float) -> str:
+    """Stable id of the (matrix, rhs, tolerance) problem a checkpoint solves."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.int64([m.n_rows, m.n_cols, m.nnz, len(b)]).tobytes())
+    h.update(np.ascontiguousarray(m.row[:4096], dtype=np.int64).tobytes())
+    h.update(np.ascontiguousarray(m.val[:4096], dtype=np.float64).tobytes())
+    h.update(np.ascontiguousarray(b[:4096], dtype=np.float64).tobytes())
+    h.update(np.float64(tol).tobytes())
+    return h.hexdigest()[:16]
 
 
 def _norm2_host(b: np.ndarray) -> float:

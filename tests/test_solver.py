@@ -94,3 +94,59 @@ def test_cg_checkpoint_resume(tmp_path):
     np.add.at(dense, (m.row, m.col), m.val)
     # f32 compute (x64 disabled in the suite): modest tolerance
     np.testing.assert_allclose(dense @ r2.x, b, rtol=0, atol=5e-4)
+
+
+def test_cg_checkpoint_fingerprint_and_cleanup(tmp_path):
+    """Advisor r1: a checkpoint from a DIFFERENT problem must be ignored,
+    and a converged solve must remove its checkpoint."""
+    import numpy as np
+    import ehyb_spmv_gpu_tpu as ehyb
+    from ehyb_spmv_gpu_tpu.config import EhybConfig
+    from ehyb_spmv_gpu_tpu.io import generate
+    from ehyb_spmv_gpu_tpu.models.solver import CgSolver
+
+    m = generate.poisson2d(16)
+    rng = np.random.default_rng(4)
+    b1 = rng.standard_normal(m.dimension)
+    b2 = rng.standard_normal(m.dimension)
+    model = ehyb.MODELS["ehyb_xla"](EhybConfig(dtype="float64")).setup(m)
+    ckpt = str(tmp_path / "cg.npz")
+
+    r1 = CgSolver(model).solve(b1, tol=1e-8, max_iters=5,
+                               checkpoint_every=5, checkpoint_path=ckpt)
+    assert not r1.converged
+    import os
+    assert os.path.exists(ckpt)
+
+    # different rhs: the stale checkpoint must NOT warm-start this solve
+    r2 = CgSolver(model).solve(b2, tol=1e-8, max_iters=2000,
+                               checkpoint_every=100, checkpoint_path=ckpt)
+    assert r2.converged
+    dense = np.zeros((m.dimension, m.dimension))
+    np.add.at(dense, (m.row, m.col), m.val)
+    np.testing.assert_allclose(dense @ r2.x, b2, rtol=0, atol=5e-4)
+    # converged: checkpoint removed
+    assert not os.path.exists(ckpt)
+
+
+def test_cg_single_compile_across_segments(tmp_path):
+    """VERDICT r1 #10: the per-segment iteration budget is a traced scalar —
+    different checkpoint cadences reuse ONE compiled loop."""
+    import jax
+    import numpy as np
+    import ehyb_spmv_gpu_tpu as ehyb
+    from ehyb_spmv_gpu_tpu.config import EhybConfig
+    from ehyb_spmv_gpu_tpu.io import generate
+    from ehyb_spmv_gpu_tpu.models.solver import CgSolver
+
+    m = generate.poisson2d(16)
+    b = np.ones(m.dimension)
+    model = ehyb.MODELS["ehyb_xla"](EhybConfig(dtype="float64")).setup(m)
+    solver = CgSolver(model)
+    n0 = solver._solve_jit._cache_size()
+    solver.solve(b, tol=1e-10, max_iters=7,
+                 checkpoint_every=3, checkpoint_path=str(tmp_path / "a.npz"))
+    solver.solve(b, tol=1e-10, max_iters=11,
+                 checkpoint_every=4, checkpoint_path=str(tmp_path / "b.npz"))
+    # one trace for all (budget, cadence) combinations
+    assert solver._solve_jit._cache_size() - n0 <= 1
