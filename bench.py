@@ -73,11 +73,14 @@ def run_model(model_name: str, matrix_name: str, iters: int) -> int:
         bm = m.nnz * 12 + 2 * m.dimension * 4
     res = bench_apply(model_name, lambda n: model.iterate(x_dev, n),
                       nnz=m.nnz, iters=iters, warmup=10, bytes_model=bm)
+    setup_s = {k: round(v, 3)
+               for k, v in getattr(model, "setup_seconds", {}).items()}
     print(RESULT_TAG + json.dumps({
         "model": model_name, "gflops": res.gflops, "seconds": res.seconds,
         "rel_error": err, "roofline_gflops": res.roofline_gflops,
         "roofline_frac": res.roofline_frac, "bytes_model": res.bytes_model,
-        "nnz": m.nnz, "backend": jax.default_backend()}), flush=True)
+        "nnz": m.nnz, "backend": jax.default_backend(),
+        "setup_seconds": setup_s}), flush=True)
     return 0
 
 

@@ -133,6 +133,12 @@ class EhybConfig:
     #: both ways when chunk-sync padding is high and keeps the cheaper body by
     #: the measured per-vreg cycle model; 'never' disables the second attempt.
     relax_body: str = "auto"
+    #: Compensated (Neumaier two-sum) accumulation in the streamed Pallas
+    #: body: f32 summation-order error of long slice chains collapses to ~1
+    #: ulp — the TPU realization of the reference's f64 precision contract
+    #: (spmv.h:46; the hardware has no f64 VPU).  Costs extra VPU ops; off
+    #: by default.
+    compensated_sum: bool = False
     #: Multi-window layout: minimum entries a (slice, window) group needs to be
     #: packed into body tiles; smaller groups spill to the ER tail.  Measured
     #: break-even on v5e: a kept group costs ≤8 width-steps (~22 VPU cyc), an

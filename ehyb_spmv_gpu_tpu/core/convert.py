@@ -186,18 +186,31 @@ def _assign_windows(sl: np.ndarray, ch: np.ndarray, sliding: bool
     NC = int(ch.max(initial=0)) + 1
     key = sl * NC + ch
     uniq = np.unique(key)
-    if uniq.shape[0] > 4_000_000:
-        # Scattered at scale: the greedy scan is a Python loop over unique
-        # (slice, chunk) pairs, and sliding starts buy nothing when chunks
-        # are unclustered — fall back to fixed 1024-aligned windows.
-        return (ch // 8) * 8
     sl_u, ch_u = uniq // NC, uniq % NC
-    win_u = np.empty(uniq.shape[0], dtype=np.int64)
-    cur_s, cur_w = -1, -(1 << 60)
-    for i in range(uniq.shape[0]):          # O(unique (slice, chunk) pairs)
-        if sl_u[i] != cur_s or ch_u[i] >= cur_w + 8:
-            cur_s, cur_w = sl_u[i], ch_u[i]
-        win_u[i] = cur_w
+    n = uniq.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    # Vectorized greedy cover (advisor r1: the scalar scan stalled for
+    # minutes on audikw-scale banded matrices).  Each round advances every
+    # slice's pointer to its next window head via ONE global searchsorted on
+    # the (slice, chunk) key (chunks ascend within a slice segment); the
+    # head chunks are then forward-filled to the covered members.  Rounds =
+    # max windows per slice; each is O(active log n).
+    starts = np.flatnonzero(np.r_[True, sl_u[1:] != sl_u[:-1]])
+    head = np.zeros(n, dtype=bool)
+    ptr = starts.copy()
+    while ptr.size:
+        head[ptr] = True
+        orig = sl_u[ptr]
+        target = orig * NC + ch_u[ptr] + 8       # first chunk beyond window
+        ptr = np.searchsorted(uniq, target)
+        keep = ptr < n
+        ptr, orig = ptr[keep], orig[keep]
+        keep = sl_u[ptr] == orig                 # still inside own slice
+        ptr = ptr[keep]
+    hidx = np.where(head, np.arange(n), 0)
+    np.maximum.accumulate(hidx, out=hidx)        # forward-fill head chunks
+    win_u = ch_u[hidx]
     return win_u[np.searchsorted(uniq, key)]
 
 

@@ -81,9 +81,15 @@ class EhybXlaSpmv(SpmvModel):
                               x_dev)
 
     def setup(self, m: MatrixCOO) -> "EhybXlaSpmv":
+        import time as _time
+
         self.m = m
         cfg = self.config
         dim = m.dimension
+        #: Host preprocessing wall-times (the reference prints its partition
+        #: time at reordering.c:298; bench.py forwards these to the JSON).
+        self.setup_seconds = {}
+        _t0 = _time.perf_counter()
 
         self.plan: Plan = make_plan(dim, cfg)
 
@@ -94,6 +100,7 @@ class EhybXlaSpmv(SpmvModel):
             if hit is not None:
                 self.ehyb, self.reordering = hit
                 self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
+                self.setup_seconds["cache_load"] = _time.perf_counter() - _t0
                 self._finish_setup()
                 return self
         if cfg.body_layout in ("sell_mw", "sell_rx") and cfg.features.reorder:
@@ -118,6 +125,8 @@ class EhybXlaSpmv(SpmvModel):
                 self.reordering = two_level_reorder(
                     m, labels.astype(np.int32), self.plan, sort_rows=True)
 
+        self.setup_seconds["order"] = _time.perf_counter() - _t0
+        _t1 = _time.perf_counter()
         m_r = self.reordering.apply_to_matrix(m)
         self.ehyb: EhybMatrix = coo_to_ehyb(m_r, self.reordering, self.plan, cfg)
         if cfg.body_layout == "sell_mw" and cfg.relax_body == "auto":
@@ -134,13 +143,17 @@ class EhybXlaSpmv(SpmvModel):
                              st["ell_steps"], e_rx.stats["ell_steps"])
                     self.ehyb = e_rx
                     self.config = cfg = cfg_rx
+        self.setup_seconds["convert"] = _time.perf_counter() - _t1
         if cfg.artifact_cache:
             from ..core.cache import save_artifacts
 
             save_artifacts(m, cfg, self.ehyb, self.reordering, cfg.cache_dir)
         self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
+        self.setup_seconds["total"] = _time.perf_counter() - _t0
         self._finish_setup()
-        log.info("%s ready: %s | stats=%s", self.name, self.plan.describe(),
+        log.info("%s ready: %s | setup %s | stats=%s", self.name,
+                 self.plan.describe(),
+                 {k: round(v, 2) for k, v in self.setup_seconds.items()},
                  self.ehyb.stats)
         return self
 

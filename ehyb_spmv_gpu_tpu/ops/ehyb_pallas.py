@@ -120,6 +120,14 @@ def _sell_body_kernel_windowed(tile_slice_ref, tile_first_ref, win_block_ref,
 STREAM_SUBTILES = 32
 
 
+def _two_sum(a, b):
+    """Neumaier two-sum: returns (s, e) with s = fl(a+b) and e the exact
+    rounding error (branchless |a| vs |b| select)."""
+    s = a + b
+    e = jnp.where(jnp.abs(a) >= jnp.abs(b), (a - s) + b, (b - s) + a)
+    return s, e
+
+
 def _sell_body_kernel_stream(win_row_ref, reset_ref, col_ref, val_ref, x_ref,
                              y_ref, acc_ref):
     """Streamed body: one grid step = STREAM_SUBTILES sub-tiles anywhere in
@@ -150,6 +158,42 @@ def _sell_body_kernel_stream(win_row_ref, reset_ref, col_ref, val_ref, x_ref,
         acc = jnp.sum(part, axis=0) + acc_ref[0] * keep
         acc_ref[0] = acc
         y_ref[0, i, :] = acc
+
+
+def _sell_body_kernel_stream_kahan(win_row_ref, reset_ref, col_ref, val_ref,
+                                   x_ref, y_ref, acc_ref):
+    """Compensated variant of the streamed body (config.compensated_sum):
+    Neumaier two-sum over the 8 step rows of each sub-tile AND over the
+    cross-sub-tile running accumulator, with the compensation carried in a
+    second scratch row.  The f32 summation-order error of arbitrarily long
+    slice chains collapses to ~1 ulp of the true sum (the reference's f64
+    precision contract, spmv.h:46, realized the TPU way — f64 VPU arithmetic
+    does not exist on this hardware)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for i in range(STREAM_SUBTILES):
+        win = x_ref[pl.ds(win_row_ref[t * STREAM_SUBTILES + i], WIN_ROWS), :]
+        col = col_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :].astype(jnp.int32)
+        hi = jax.lax.shift_right_logical(col, 7)
+        lo = jax.lax.bitwise_and(col, 127)
+        rows = jnp.take_along_axis(win, hi, axis=0)
+        g = jnp.take_along_axis(rows, lo, axis=1)
+        part = val_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :] * g
+        keep = (reset_ref[t * STREAM_SUBTILES + i] == 0).astype(part.dtype)
+        s, c = part[0], jnp.zeros_like(part[0])
+        for r in range(1, TILE_STEPS):
+            s, e = _two_sum(s, part[r])
+            c = c + e
+        acc, comp = acc_ref[0] * keep, acc_ref[1] * keep
+        acc, e = _two_sum(acc, s)
+        comp = comp + c + e
+        acc_ref[0] = acc
+        acc_ref[1] = comp
+        y_ref[0, i, :] = acc + comp
 
 
 def _sell_body_kernel_stream_rx(win_a_ref, win_b_ref, reset_ref, col_ref,
@@ -188,6 +232,42 @@ def _sell_body_kernel_stream_rx(win_a_ref, win_b_ref, reset_ref, col_ref,
         acc = jnp.sum(part, axis=0) + acc_ref[0] * keep
         acc_ref[0] = acc
         y_ref[0, i, :] = acc
+
+
+def _sell_body_kernel_stream_rx_kahan(win_a_ref, win_b_ref, reset_ref,
+                                      col_ref, val_ref, x_ref, y_ref,
+                                      acc_ref):
+    """Compensated dual-window (rx) streamed body — see the chunk-sync
+    Kahan variant for the numerics and the rx variant for the gather."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for i in range(STREAM_SUBTILES):
+        wa = x_ref[pl.ds(win_a_ref[t * STREAM_SUBTILES + i], WIN_ROWS), :]
+        wb = x_ref[pl.ds(win_b_ref[t * STREAM_SUBTILES + i], WIN_ROWS), :]
+        idx = col_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :].astype(jnp.int32)
+        hi = jax.lax.bitwise_and(jax.lax.shift_right_logical(idx, 7), 7)
+        sel = jax.lax.shift_right_logical(idx, 10)
+        lo = jax.lax.bitwise_and(idx, 127)
+        ra = jnp.take_along_axis(wa, hi, axis=0)
+        rb = jnp.take_along_axis(wb, hi, axis=0)
+        rows = jnp.where(sel == 1, rb, ra)
+        g = jnp.take_along_axis(rows, lo, axis=1)
+        part = val_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :] * g
+        keep = (reset_ref[t * STREAM_SUBTILES + i] == 0).astype(part.dtype)
+        s, c = part[0], jnp.zeros_like(part[0])
+        for r in range(1, TILE_STEPS):
+            s, e = _two_sum(s, part[r])
+            c = c + e
+        acc, comp = acc_ref[0] * keep, acc_ref[1] * keep
+        acc, e = _two_sum(acc, s)
+        comp = comp + c + e
+        acc_ref[0] = acc
+        acc_ref[1] = comp
+        y_ref[0, i, :] = acc + comp
 
 
 def build_stream_maps(e: EhybMatrix):
@@ -337,17 +417,20 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
         if sub_win.shape[0] * 12 <= _SMEM_PREFETCH_BUDGET:
             spt = STREAM_SUBTILES * TILE_STEPS
             rx = sub_win_b is not None
+            kahan = bool(getattr(config, "compensated_sum", False))
             if rx:
                 aux = (jnp.asarray(sub_win), jnp.asarray(sub_win_b),
                        jnp.asarray(reset))
                 idx_map = lambda t, wa, wb, rs: (t, 0)  # noqa: E731
                 out_map = lambda t, wa, wb, rs: (t, 0, 0)  # noqa: E731
-                kernel_fn = _sell_body_kernel_stream_rx
+                kernel_fn = _sell_body_kernel_stream_rx_kahan if kahan \
+                    else _sell_body_kernel_stream_rx
             else:
                 aux = (jnp.asarray(sub_win), jnp.asarray(reset))
                 idx_map = lambda t, wr, rs: (t, 0)  # noqa: E731
                 out_map = lambda t, wr, rs: (t, 0, 0)  # noqa: E731
-                kernel_fn = _sell_body_kernel_stream
+                kernel_fn = _sell_body_kernel_stream_kahan if kahan \
+                    else _sell_body_kernel_stream
             last_sub_dev = jnp.asarray(last_sub)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=len(aux),
@@ -362,7 +445,8 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                 out_specs=pl.BlockSpec((1, STREAM_SUBTILES, LANES),
                                        out_map,
                                        memory_space=pltpu.VMEM),
-                scratch_shapes=[pltpu.VMEM((1, LANES), vdt)],
+                # row 0 = running sum; row 1 = Neumaier compensation (kahan)
+                scratch_shapes=[pltpu.VMEM((2 if kahan else 1, LANES), vdt)],
             )
             nnz_body = e.stats.get("nnz_ell", e.ell_val.size)
             vbytes = np.dtype(vdt).itemsize

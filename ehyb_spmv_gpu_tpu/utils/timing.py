@@ -118,19 +118,22 @@ def measure_loop(apply_iters: Callable[[int], "jax.Array"], iters: int,
         return best
 
     dt = timed(half + iters) - timed(half)
-    if dt <= 0:
-        # Never report an absurd rate silently: retry once with a 4x longer
-        # region; a second non-positive difference is a measurement failure.
-        log.warning("measure_loop: non-positive difference (%.4fs) — retrying "
-                    "at 4x iterations", dt)
-        dt = timed(half + 4 * iters) - timed(half)
-        if dt <= 0:
-            raise RuntimeError(
-                f"measure_loop: timed region not measurable (diff {dt:.4f}s "
-                f"at {iters} and {4*iters} iterations) — dispatch elision or "
-                "extreme tunnel noise; see verify skill notes")
-        return dt / (4 * iters)
-    return dt / iters
+    if dt > 0:
+        return dt / iters
+    # Never report an absurd rate silently.  A non-positive difference means
+    # the timed region is smaller than the tunnel noise (sub-ms kernels, e.g.
+    # an all-DIA poisson iteration is ~2 us): escalate the region length
+    # until it clears the noise floor before declaring failure.
+    for mult in (4, 16, 64, 256):
+        log.warning("measure_loop: non-positive difference (%.4fs) — "
+                    "retrying at %dx iterations", dt, mult)
+        dt = timed(half + mult * iters) - timed(half)
+        if dt > 0.02:       # region comfortably above tunnel jitter
+            return dt / (mult * iters)
+    raise RuntimeError(
+        f"measure_loop: timed region not measurable (diff {dt:.4f}s up to "
+        f"{256*iters} iterations) — dispatch elision or extreme tunnel "
+        "noise; see verify skill notes")
 
 
 def bench_apply(name: str, apply_iters: Callable[[int], jax.Array], nnz: int,

@@ -261,3 +261,47 @@ def test_mw_pallas_interpret_vs_oracle(fixture, request):
         assert rel_error(y, oracle_spmv(m, x)) < 5e-6
     finally:
         del os.environ["EHYB_FORCE_PALLAS"]
+
+
+# --- compensated accumulation (config.compensated_sum) ---------------------
+
+def _cancellation_matrix():
+    """Row 0 sums 100 ones interleaved before ±1e8 blocks: every value and
+    every TRUE partial is f32-representable, but naive f32 summation absorbs
+    the ones into the 1e8-magnitude partials (ulp 8).  The reference computes
+    this exactly in f64 (spmv.h:46)."""
+    from ehyb_spmv_gpu_tpu.core.coo import MatrixCOO
+
+    dim = 2048
+    cols = np.arange(1124)
+    vals = np.empty(1124)
+    vals[:100] = 1.0
+    vals[100:612] = 1e8
+    vals[612:1124] = -1e8
+    # a light background so other rows/slices exist
+    bg_r = np.arange(1, dim)
+    bg_c = np.arange(1, dim)
+    row = np.concatenate([np.zeros(1124, np.int64), bg_r])
+    col = np.concatenate([cols, bg_c])
+    val = np.concatenate([vals, np.ones(dim - 1)])
+    return MatrixCOO(dim, dim, row, col, val)
+
+
+def test_compensated_sum_interpret():
+    m = _cancellation_matrix()
+    x = np.ones(m.dimension)
+    os.environ["EHYB_FORCE_PALLAS"] = "interpret"
+    try:
+        naive = ehyb.EhybSpmv(EhybConfig()).setup(m)
+        comp = ehyb.EhybSpmv(EhybConfig(compensated_sum=True)).setup(m)
+        y_n = naive.matvec(x)
+        y_c = comp.matvec(x)
+    finally:
+        del os.environ["EHYB_FORCE_PALLAS"]
+    # truth: row 0 = 100.0 exactly
+    assert abs(y_c[0] - 100.0) <= 1e-8 * 100.0, y_c[0]
+    # teeth: the uncompensated f32 path must actually lose precision here
+    # (if this ever starts passing, the stress pattern needs rework)
+    assert abs(y_n[0] - 100.0) > 1e-4, y_n[0]
+    # background rows unaffected
+    np.testing.assert_allclose(y_c[1:], 1.0, rtol=1e-6)

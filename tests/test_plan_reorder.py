@@ -160,3 +160,26 @@ def test_pick_ordering_auto(scrambled):
     plan = make_plan(scrambled.dimension, cfg)
     r = pick_ordering(scrambled, plan, cfg, "auto")
     assert np.array_equal(np.sort(r.new_to_old), np.arange(scrambled.dimension))
+
+
+def test_native_partitioner_beats_blocks_on_scrambled(scrambled):
+    """VERDICT r1 #9: the native multilevel k-way partitioner must earn its
+    keep — materially lower edge cut than contiguous blocks on a matrix
+    whose structure is hidden by a random permutation (a silent quality
+    regression in native/partition.cpp would otherwise pass the suite).
+    The quality metric is the one mt-metis itself reports (r_edgecut,
+    reordering.c:136)."""
+    from ehyb_spmv_gpu_tpu.partition import edge_cut, partition_rows
+
+    m = scrambled
+    n_parts = 8
+    lab_blocks = partition_rows(m, n_parts, "blocks")
+    lab_native = partition_rows(m, n_parts, "native")
+    cut_blocks = edge_cut(m, lab_blocks)
+    cut_native = edge_cut(m, lab_native)
+    # scrambled 5-point Laplacian: contiguous blocks cut ~everything, a real
+    # partitioner recovers locality — demand a decisive margin
+    assert cut_native < 0.7 * cut_blocks, (cut_native, cut_blocks)
+    # balance sanity: largest part within 2x of ideal
+    counts = np.bincount(lab_native, minlength=n_parts)
+    assert counts.max() <= 2.0 * (m.dimension / n_parts), counts
