@@ -675,10 +675,14 @@ def extract_diagonals(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     keep[eligible] = off_rank[de - lo] >= 0
 
     dim_r = round_up(max(dim, 1), LANES)
-    dia_val = np.zeros((offsets.shape[0], dim_r), dtype=val_dtype)
     k_of = off_rank[d[keep] - lo]
-    # += (not =): tolerates duplicate COO entries, matching dense semantics.
-    np.add.at(dia_val, (k_of, row[keep]), val[keep].astype(val_dtype))
+    # Accumulate (not assign): tolerates duplicate COO entries, matching
+    # dense semantics.  bincount instead of np.add.at — the ufunc scatter
+    # costs tens of seconds on a 74M-nnz audikw-class extraction.
+    flat = k_of * dim_r + row[keep]
+    acc = np.bincount(flat, weights=val[keep],
+                      minlength=offsets.shape[0] * dim_r)
+    dia_val = acc.reshape(offsets.shape[0], dim_r).astype(val_dtype)
     return offsets, dia_val, keep
 
 

@@ -173,7 +173,9 @@ class EhybMatrix:
     # -- serialization (the reference never caches its converted format; we do,
     #    per SURVEY.md §5 "Checkpoint / resume") --
     def save_npz(self, path: str) -> None:
-        np.savez_compressed(
+        # uncompressed: zlib on a ~400 MB audikw-class artifact costs ~45 s
+        # of the setup budget; disk is cheap, reconversion is not
+        np.savez(
             path,
             dim=self.dim, nnz_total=self.nnz_total,
             window_rows=self.window_rows, n_parts=self.n_parts,

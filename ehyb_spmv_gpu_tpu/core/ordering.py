@@ -103,7 +103,7 @@ _ER_STEP_EQUIV = 14.0 * 128.0 / (_CYC_SELL_VREG / 8.0)
 
 
 def estimate_cost(row_new: np.ndarray, col_new: np.ndarray, dim: int,
-                  config: EhybConfig) -> float:
+                  config: EhybConfig, step_scale: float = 1.0) -> float:
     """Estimated device cost (VPU cycle units) of the multi-window EHYB apply
     under a given ordering, DIA extraction included.
 
@@ -127,8 +127,10 @@ def estimate_cost(row_new: np.ndarray, col_new: np.ndarray, dim: int,
     steps = estimate_mw_steps(row_new, col_new, dim, config.slice_rows,
                               config.min_window_group_nnz,
                               sliding=bool(config.sliding_windows))
+    # step_scale rescales only the nnz-proportional SELL term (sampled
+    # estimates); the DIA vreg cost depends on dim alone.
     return (n_dia * cdiv(dim, 1024) * _CYC_DIA_VREG
-            + steps / 8.0 * _CYC_SELL_VREG)
+            + step_scale * steps / 8.0 * _CYC_SELL_VREG)
 
 
 def estimate_mw_steps(row_new: np.ndarray, col_new: np.ndarray, dim: int,
@@ -232,18 +234,38 @@ def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
     # construction is minutes of host time on audikw_1-scale matrices).
     floor = m.nnz / 1024.0 * (_CYC_DIA_VREG if config.features.dia
                               else _CYC_SELL_VREG)
+    # Sampled estimates above 20M nnz (VERDICT r1 #8): a uniform entry
+    # subsample preserves the candidates' RANKING (counts scale by frac;
+    # thresholds are scaled to match) at a fraction of the sort cost.
+    _SAMPLE_CAP = 20_000_000
+    if m.nnz > _SAMPLE_CAP:
+        frac = _SAMPLE_CAP / m.nnz
+        rng = np.random.default_rng(0)
+        sample = rng.random(m.nnz) < frac
+        s_row, s_col = m.row[sample], m.col[sample]
+        import dataclasses as _dc
+
+        est_cfg = _dc.replace(
+            config, dia_threshold=config.dia_threshold * frac,
+            min_window_group_nnz=max(
+                1, int(round(config.min_window_group_nnz * frac))))
+        scale = 1.0 / frac
+        log.info("ordering estimates sampled: %d of %d nnz", s_row.size,
+                 m.nnz)
+    else:
+        s_row, s_col, est_cfg, scale = m.row, m.col, config, 1.0
     best_name, best_r, best_cost = None, None, None
     for name, fn in candidates.items():
         r = fn()
         if config.features.dia:
-            cost = estimate_cost(r.old_to_new[m.row], r.old_to_new[m.col],
-                                 dim, config)
+            cost = estimate_cost(r.old_to_new[s_row], r.old_to_new[s_col],
+                                 dim, est_cfg, step_scale=scale)
         else:
-            cost = (estimate_mw_steps(r.old_to_new[m.row],
-                                      r.old_to_new[m.col], dim,
-                                      config.slice_rows,
-                                      config.min_window_group_nnz)
-                    / 8.0 * _CYC_SELL_VREG)
+            cost = scale * (estimate_mw_steps(r.old_to_new[s_row],
+                                              r.old_to_new[s_col], dim,
+                                              est_cfg.slice_rows,
+                                              est_cfg.min_window_group_nnz)
+                            / 8.0 * _CYC_SELL_VREG)
         log.info("ordering %s: estimated cost %.0f cyc-units", name, cost)
         if best_cost is None or cost < best_cost:
             best_name, best_r, best_cost = name, r, cost

@@ -34,18 +34,20 @@ def adjacency_csr(m: MatrixCOO):
     reference feeds METIS (built inline for the unsym path at
     ``reordering.c:50-89``; the sym path passes the matrix pattern directly)."""
     dim = m.dimension
-    row = np.concatenate([m.row, m.col])
-    col = np.concatenate([m.col, m.row])
+    row = np.concatenate([m.row, m.col]).astype(np.int64)
+    col = np.concatenate([m.col, m.row]).astype(np.int64)
     off = row != col
     row, col = row[off], col[off]
-    order = np.lexsort((col, row))
-    row, col = row[order], col[order]
-    if row.size:
-        keep = np.empty(row.size, dtype=bool)
+    # Single fused-key sort + dedupe: a two-key lexsort costs ~70 s on an
+    # audikw-scale edge list; one int64 radix-ish sort is ~4x cheaper.
+    key = row * dim + col
+    key = np.sort(key, kind="stable")
+    if key.size:
+        keep = np.empty(key.size, dtype=bool)
         keep[0] = True
-        np.not_equal(row[1:], row[:-1], out=keep[1:])
-        keep[1:] |= col[1:] != col[:-1]
-        row, col = row[keep], col[keep]
+        np.not_equal(key[1:], key[:-1], out=keep[1:])
+        key = key[keep]
+    row, col = key // dim, key % dim
     xadj = np.zeros(dim + 1, dtype=np.int32)
     np.cumsum(np.bincount(row, minlength=dim), out=xadj[1:])
     return xadj, col.astype(np.int32)
