@@ -130,6 +130,8 @@ def measure_loop(apply_iters: Callable[[int], "jax.Array"], iters: int,
         dt = timed(half + mult * iters) - timed(half)
         if dt > 0.02:       # region comfortably above tunnel jitter
             return dt / (mult * iters)
+    if dt > 0:  # positive but small at the longest region: accept (CPU runs
+        return dt / (256 * iters)  # under load produce exactly this shape)
     raise RuntimeError(
         f"measure_loop: timed region not measurable (diff {dt:.4f}s up to "
         f"{256*iters} iterations) — dispatch elision or extreme tunnel "
