@@ -52,11 +52,12 @@ log = get_logger(__name__)
 VMEM_PRESTAGE_LIMIT = int(os.environ.get(
     "EHYB_PRESTAGE_LIMIT_BYTES", 100 * 1024 * 1024))
 
-#: Measured VPU cost per (8,128) vreg of the two SELL bodies on v5e (const
-#: mode): chunk-sync two-stage gather vs relaxed dual-window (one extra
-#: sublane gather + select).  Used to arbitrate the relax_body='auto' switch.
-_CYC_MW_VREG = 22.0
-_CYC_RX_VREG = 27.0
+#: Measured full-apply cost per (8,128) body vreg on v5e (const mode,
+#: permuted_poisson_512, fixed overheads included): chunk-sync two-stage
+#: gather vs relaxed dual-window (one extra sublane gather + select).
+#: Used to arbitrate the relax_body='auto' switch.
+_CYC_MW_VREG = 17.8
+_CYC_RX_VREG = 19.9
 #: Chunk-sync padding fraction above which the relaxed conversion is tried.
 _RELAX_WASTE_GATE = 0.25
 

@@ -97,13 +97,9 @@ class ShardedEhyb:
     exchange_slots: int = 0      # S
 
     # --- streamed-Pallas body metadata (None when the XLA body is used) ---
-    #: (D, n_sub) int32 per-sub-tile x2d window rows (into the EXTENDED x).
-    stream_win: np.ndarray = None
-    #: (D, n_sub) int32 slice-start reset flags.
-    stream_reset: np.ndarray = None
-    #: (D, n_slices) int32 sub-tile whose running sum closes each slice.
-    stream_last: np.ndarray = None
-    stream_tiles: int = 0        # common grid size
+    #: dict of interior/boundary stream maps (winA/rstA/lastA/maskA, same
+    #: for B, n_tiles_A/n_tiles_B) — see build_sharded's overlap split.
+    stream: dict = None
 
     stats: dict = dataclasses.field(default_factory=dict)
 
@@ -209,30 +205,100 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         s.long_col = remap_cols(s.long_col, d)
 
     # ---- streamed-Pallas body metadata (per shard, padded to one grid) ----
+    # The sub-tile stream is physically split into an INTERIOR part (windows
+    # entirely inside the local rows — computable from x_local before the
+    # halos arrive) and a BOUNDARY part (windows touching the ±W halo).
+    # The SPMD body runs them as two pallas_calls; XLA's scheduler can then
+    # overlap the halo ppermute with the interior call — the distributed
+    # double-buffered analog of the reference's cached-phase/global-phase
+    # split (kernel.cu:150-168 vs 169-194; SURVEY §7 hard part 5).
     stream = None
     if stream_maps:
         from ..ops.ehyb_pallas import STREAM_SUBTILES, TILE_STEPS, \
             build_stream_maps
 
-        per = [build_stream_maps(s) for s in shards]
-        n_tiles_c = max(t for *_, t in per)
-        n_sub_c = n_tiles_c * STREAM_SUBTILES
+        spt = STREAM_SUBTILES
         n_slices_c = shards[0].n_slices  # uniform: every shard has R rows
-        stream_win = np.zeros((n_dev, n_sub_c), dtype=np.int32)
-        stream_reset = np.ones((n_dev, n_sub_c), dtype=np.int32)
-        stream_last = np.zeros((n_dev, n_slices_c), dtype=np.int32)
-        for i, (w, _wb, _ss, rs, ls, _t) in enumerate(per):
-            stream_win[i, : w.shape[0]] = w
-            stream_reset[i, : rs.shape[0]] = rs
-            stream_last[i] = ls
-        stream = (stream_win, stream_reset, stream_last, n_tiles_c,
-                  n_tiles_c * STREAM_SUBTILES * TILE_STEPS)
+        per = []
+        for s in shards:
+            sub_win, _wb, sub_slice, _rs, _ls, _t = build_stream_maps(s)
+            n_sub = s.ell_col.shape[0] // TILE_STEPS
+            sub_win, sub_slice = sub_win[:max(n_sub, 0)], \
+                sub_slice[:max(n_sub, 0)]
+            # interior: full 1024-row window within local rows (ext coords
+            # [W, W+R]); padding/degenerate sub-tiles count as interior
+            w0 = sub_win.astype(np.int64) * 128
+            interior = (w0 >= W) & (w0 + 1024 <= W + R)
+            interior |= sub_slice >= n_slices_c  # stream padding sub-tiles
+            per.append((sub_win, sub_slice, interior))
+
+        def group_maps(sub_win, sub_slice, sel):
+            """Per-group (win, reset, last, present) in the group's order."""
+            w = sub_win[sel]
+            sl = sub_slice[sel]
+            rs = np.ones(w.shape[0], dtype=np.int32)
+            if w.shape[0]:
+                rs[1:] = sl[1:] != sl[:-1]
+            last = np.zeros(n_slices_c, dtype=np.int32)
+            present = np.zeros(n_slices_c, dtype=np.float32)
+            if sl.size:
+                # a slice's sub-tiles stay contiguous within the group (the
+                # split preserves original order), so each slice closes once
+                idx = np.flatnonzero(np.r_[sl[1:] != sl[:-1], True])
+                ok = sl[idx] < n_slices_c
+                last[sl[idx[ok]]] = idx[ok]
+                present[sl[idx[ok]]] = 1.0
+            return w, rs, last, present, sl
+
+        kA = max((int(p[2].sum()) for p in per), default=0)
+        kB = max((int((~p[2]).sum()) for p in per), default=0)
+        n_tiles_A = max(1, -(-kA // spt))
+        n_tiles_B = max(1, -(-kB // spt))
+        nsA, nsB = n_tiles_A * spt, n_tiles_B * spt
+        winA = np.zeros((n_dev, nsA), dtype=np.int32)
+        rstA = np.ones((n_dev, nsA), dtype=np.int32)
+        lastA = np.zeros((n_dev, n_slices_c), dtype=np.int32)
+        maskA = np.zeros((n_dev, n_slices_c), dtype=np.float32)
+        winB = np.zeros((n_dev, nsB), dtype=np.int32)
+        rstB = np.ones((n_dev, nsB), dtype=np.int32)
+        lastB = np.zeros((n_dev, n_slices_c), dtype=np.int32)
+        maskB = np.zeros((n_dev, n_slices_c), dtype=np.float32)
+        # physically reorder each shard's ell arrays: interior sub-tiles
+        # first (padded to whole tiles), then boundary sub-tiles
+        for i, (s, (sub_win, sub_slice, interior)) in enumerate(
+                zip(shards, per)):
+            C_ = config.slice_rows
+            col3 = s.ell_col.reshape(-1, TILE_STEPS, C_)
+            val3 = s.ell_val.reshape(-1, TILE_STEPS, C_)
+            selA = np.flatnonzero(interior)
+            selB = np.flatnonzero(~interior)
+            wA, rA, lA, mA, _ = group_maps(sub_win, sub_slice, interior)
+            wB, rB, lB, mB, _ = group_maps(sub_win, sub_slice, ~interior)
+            winA[i, : wA.shape[0]] = wA
+            rstA[i, : rA.shape[0]] = rA
+            lastA[i], maskA[i] = lA, mA
+            winB[i, : wB.shape[0]] = wB
+            rstB[i, : rB.shape[0]] = rB
+            lastB[i], maskB[i] = lB, mB
+            new_col = np.zeros((nsA + nsB, TILE_STEPS, C_),
+                               dtype=s.ell_col.dtype)
+            new_val = np.zeros((nsA + nsB, TILE_STEPS, C_),
+                               dtype=s.ell_val.dtype)
+            new_col[: selA.size] = col3[selA]
+            new_val[: selA.size] = val3[selA]
+            new_col[nsA: nsA + selB.size] = col3[selB]
+            new_val[nsA: nsA + selB.size] = val3[selB]
+            s.ell_col = new_col.reshape(-1, C_)
+            s.ell_val = new_val.reshape(-1, C_)
+            # step_win is superseded by the group maps; keep shape-consistent
+            s.step_win = np.zeros(s.ell_col.shape[0], dtype=np.int32)
+        stream = dict(winA=winA, rstA=rstA, lastA=lastA, maskA=maskA,
+                      winB=winB, rstB=rstB, lastB=lastB, maskB=maskB,
+                      n_tiles_A=n_tiles_A, n_tiles_B=n_tiles_B)
 
     # ---- pad to common shapes + stack ----
     C = config.slice_rows
     steps = max(max(s.ell_col.shape[0] for s in shards), 1)
-    if stream is not None:
-        steps = max(steps, stream[4])  # whole stream tiles for the kernel
     er_steps = max(max(s.er_col.shape[0] for s in shards), 1)
     n_er_slices = max(max(s.n_er_slices for s in shards), 1)
     n_long = max(max(s.n_long for s in shards), 1)
@@ -279,32 +345,24 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         long_rows=stack(lambda s: _pad_rows(s.long_rows, n_long, fill=R)),
         dia_offsets=tuple(union), dia_val=dia_val,
         send_idx=send_idx, exchange_slots=S,
-        stream_win=stream[0] if stream else None,
-        stream_reset=stream[1] if stream else None,
-        stream_last=stream[2] if stream else None,
-        stream_tiles=stream[3] if stream else 0,
+        stream=stream,
         stats={"per_dev": [s.stats for s in shards], "R": R, "W": W,
                "exchange_slots": S, "req_sizes": req_sizes.tolist()},
     )
     return sh
 
 
-def _stream_body_pallas(a, x_ext, meta):
-    """Fused Pallas SELL body inside the SPMD shard (VERDICT r1 #3): the
-    same streamed kernel as the single-chip flagship, with the scalar
-    prefetch maps as SHARDED OPERANDS (each device prefetches its own
-    window/reset tables).  x_ext (R+2W) is VMEM-resident per shard — the
-    distributed analog of the cached phase (``kernel.cu:150-168``)."""
+def _stream_call(n_tiles, interpret, vdt, tile_offset):
+    """Build one streamed-body pallas_call whose col/val BlockSpecs read
+    tiles starting at ``tile_offset`` of the (reordered) ell arrays."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from ..ops.ehyb_pallas import (STREAM_SUBTILES, TILE_STEPS, _VMEM_LIMIT,
                                    _sell_body_kernel_stream)
 
-    n_tiles, interpret, n_slices = meta
     spt = STREAM_SUBTILES * TILE_STEPS
-    vdt = x_ext.dtype
-    idx_map = lambda t, wr, rs: (t, 0)  # noqa: E731
+    idx_map = lambda t, wr, rs: (t + tile_offset, 0)  # noqa: E731
     out_map = lambda t, wr, rs: (t, 0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -318,24 +376,44 @@ def _stream_body_pallas(a, x_ext, meta):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, LANES), vdt)],
     )
-    call = pl.pallas_call(
+    return pl.pallas_call(
         _sell_body_kernel_stream, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, STREAM_SUBTILES, LANES), vdt),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, STREAM_SUBTILES, LANES),
+                                       vdt),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
-    # One extra zero window: shard-local window starts are aligned to the
-    # (possibly negative) minimum chunk, so a top-edge window's fixed
-    # 1024-row slice can run past x_ext — the dynamic slice would CLAMP and
-    # silently shift the window base.  Real entries never gather from the
-    # pad (their hi stays within their own column's chunk).
-    x_ext = jnp.concatenate(
-        [x_ext, jnp.zeros(8 * LANES, dtype=x_ext.dtype)])
-    x2d = x_ext.reshape(-1, LANES)
-    y3 = call(a["stream_win"][0], a["stream_reset"][0],
-              a["ell_col"][0][: n_tiles * spt],
-              a["ell_val"][0][: n_tiles * spt], x2d)
-    return jnp.take(y3.reshape(-1, LANES), a["stream_last"][0],
-                    axis=0).reshape(-1)
+
+
+def _stream_body_pallas(a, x_local, left_halo, right_halo, meta):
+    """Fused Pallas SELL body inside the SPMD shard (VERDICT r1 #3), split
+    into an INTERIOR call fed by x_local alone and a BOUNDARY call fed by
+    the halo'd x_ext — the interior call has no data dependency on the
+    ppermutes, so XLA can overlap the halo exchange with it (VERDICT r1
+    #4's compute/communication overlap; the distributed analog of
+    ``kernel.cu:150-168`` vs ``169-194``).  Scalar-prefetch maps are
+    SHARDED OPERANDS (each device prefetches its own tables)."""
+    n_tiles_A, n_tiles_B, interpret, W = meta
+    vdt = x_local.dtype
+    zeros_w = jnp.zeros(W, dtype=vdt)
+    # Tail pad: window starts are aligned to the (possibly negative)
+    # minimum chunk, so a top-edge window's fixed 1024-row slice may run
+    # past the vector — the dynamic slice would CLAMP and silently shift
+    # the window base.  Real entries never gather from the pad.
+    tail = jnp.zeros(8 * LANES, dtype=vdt)
+    x_int = jnp.concatenate([zeros_w, x_local, zeros_w, tail])
+    x_ext = jnp.concatenate([left_halo, x_local, right_halo, tail])
+
+    callA = _stream_call(n_tiles_A, interpret, vdt, 0)
+    callB = _stream_call(n_tiles_B, interpret, vdt, n_tiles_A)
+    yA = callA(a["stream_winA"][0], a["stream_rstA"][0],
+               a["ell_col"][0], a["ell_val"][0], x_int.reshape(-1, LANES))
+    yB = callB(a["stream_winB"][0], a["stream_rstB"][0],
+               a["ell_col"][0], a["ell_val"][0], x_ext.reshape(-1, LANES))
+    yA2 = jnp.take(yA.reshape(-1, LANES), a["stream_lastA"][0], axis=0)
+    yB2 = jnp.take(yB.reshape(-1, LANES), a["stream_lastB"][0], axis=0)
+    y = yA2 * a["stream_maskA"][0][:, None] \
+        + yB2 * a["stream_maskB"][0][:, None]
+    return y.reshape(-1)
 
 
 def _shard_body(sh_meta, x_shard, a):
@@ -380,7 +458,8 @@ def _shard_body(sh_meta, x_shard, a):
         dia_val=a["dia_val"][0], dia_offsets=dia_offsets, body_nnz=body_nnz)
 
     if pallas_meta is not None and body_nnz:
-        y_body = _stream_body_pallas(a, x_ext, pallas_meta)
+        y_body = _stream_body_pallas(a, x_local, left_halo, right_halo,
+                                     pallas_meta)
     else:
         y_body = ehyb_body_xla(dev, x_ext)   # windows into x_ext
     y_er = ehyb_er_xla(dev, x_cat)           # remapped ext+recv columns
@@ -432,15 +511,19 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
     )
     pallas_meta = None
     if pallas_mode:
-        if sh.stream_win is None:
+        if sh.stream is None:
             raise ValueError("pallas_mode requires build_sharded(..., "
                              "stream_maps=True)")
+        st = sh.stream
         arrays.update(
-            stream_win=to_dev(sh.stream_win),
-            stream_reset=to_dev(sh.stream_reset),
-            stream_last=to_dev(sh.stream_last))
-        n_slices = sh.stream_last.shape[1]
-        pallas_meta = (sh.stream_tiles, pallas_mode == "interpret", n_slices)
+            stream_winA=to_dev(st["winA"]), stream_rstA=to_dev(st["rstA"]),
+            stream_lastA=to_dev(st["lastA"]),
+            stream_maskA=to_dev(st["maskA"], cast=True),
+            stream_winB=to_dev(st["winB"]), stream_rstB=to_dev(st["rstB"]),
+            stream_lastB=to_dev(st["lastB"]),
+            stream_maskB=to_dev(st["maskB"], cast=True))
+        pallas_meta = (st["n_tiles_A"], st["n_tiles_B"],
+                       pallas_mode == "interpret", W)
 
     body_nnz = sum(s.get("nnz_ell", 1) for s in sh.stats.get("per_dev", [{}]))
     body = partial(_shard_body, (R, W, D, sh.dia_offsets, body_nnz,

@@ -147,7 +147,10 @@ def test_sharded_pallas_body_interpret(poisson_mid, monkeypatch):
     # shards must span >= one full 1024-row window: dim 4096 over 2 devices
     model = ShardedEhybSpmv(cfg, mesh=make_mesh(2)).setup(poisson_mid)
     assert model._body_mode == "interpret"
-    assert model.sharded.stream_win is not None
+    assert model.sharded.stream is not None
+    # the overlap split actually has both parts on a banded matrix
+    st = model.sharded.stream
+    assert st["maskA"].sum() > 0 and st["maskB"].sum() > 0
     x = deterministic_x(poisson_mid.dimension)
     assert rel_error(model.matvec(x), oracle_spmv(poisson_mid, x)) < 5e-6
 
