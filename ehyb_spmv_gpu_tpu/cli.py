@@ -52,6 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable in-partition density sort")
     p.add_argument("--no-dia", action="store_true",
                    help="disable the gather-free DIA diagonal body")
+    p.add_argument("--layout", default=None,
+                   choices=["sell", "sell_cs", "sell_mw", "sell_rx"],
+                   help="force a SELL body layout (default: model-chosen, "
+                        "with relax_body auto-switching mw→rx)")
+    p.add_argument("--no-relax", action="store_true",
+                   help="disable the relaxed-layout (sell_rx) auto-switch")
+    p.add_argument("--compensated", action="store_true",
+                   help="Neumaier-compensated accumulation in the Pallas "
+                        "body (f64-grade summation on f32 hardware)")
     p.add_argument("--tol", type=float, default=0.01,
                    help="validation relative tolerance (reference: 1%%)")
     p.add_argument("--cache", action="store_true",
@@ -116,10 +125,16 @@ def main(argv=None) -> int:
         window_rows=args.window,
         partitioner=args.partitioner,
         artifact_cache=args.cache,
+        relax_body="never" if args.no_relax else "auto",
+        compensated_sum=bool(args.compensated),
         features=Features(reorder=not args.no_reorder,
                           sort_rows=not args.no_sort,
                           dia=not args.no_dia),
     )
+    if args.layout:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, body_layout=args.layout)
     if args.model not in ehyb.MODELS:
         print(f"error: unknown model {args.model!r}", file=sys.stderr)
         return 2
