@@ -34,6 +34,9 @@ log = get_logger(__name__)
 
 _WSPAN = 1024
 _TILE = 8
+#: Above this nnz the ordering auto-selector estimates on a uniform entry
+#: subsample (module-level so tests can exercise the sampled path).
+SAMPLE_CAP = 20_000_000
 
 
 def rcm_order(m: MatrixCOO) -> np.ndarray:
@@ -234,12 +237,11 @@ def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
     # construction is minutes of host time on audikw_1-scale matrices).
     floor = m.nnz / 1024.0 * (_CYC_DIA_VREG if config.features.dia
                               else _CYC_SELL_VREG)
-    # Sampled estimates above 20M nnz (VERDICT r1 #8): a uniform entry
+    # Sampled estimates above the cap (VERDICT r1 #8): a uniform entry
     # subsample preserves the candidates' RANKING (counts scale by frac;
     # thresholds are scaled to match) at a fraction of the sort cost.
-    _SAMPLE_CAP = 20_000_000
-    if m.nnz > _SAMPLE_CAP:
-        frac = _SAMPLE_CAP / m.nnz
+    if m.nnz > SAMPLE_CAP:
+        frac = SAMPLE_CAP / m.nnz
         rng = np.random.default_rng(0)
         sample = rng.random(m.nnz) < frac
         s_row, s_col = m.row[sample], m.col[sample]

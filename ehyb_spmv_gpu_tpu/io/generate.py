@@ -165,4 +165,7 @@ CORPUS = {
     "random_16k": lambda: random_general(16384, 24, seed=3),
     "powerlaw_16k": lambda: random_general(16384, 24, seed=4, power_law=0.7),
     "permuted_poisson_512": lambda: permuted(poisson2d(512), seed=7),
+    # 1M-row scrambled stencil: the relaxed body in the HBM-streaming
+    # regime (the ell stream exceeds the VMEM prestage limit)
+    "permuted_poisson_1024": lambda: permuted(poisson2d(1024), seed=9),
 }

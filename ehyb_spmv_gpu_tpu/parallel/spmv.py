@@ -352,14 +352,15 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
     return sh
 
 
-def _stream_call(n_tiles, interpret, vdt, tile_offset):
+def _stream_call(n_tiles, interpret, vdt, tile_offset, kahan=False):
     """Build one streamed-body pallas_call whose col/val BlockSpecs read
     tiles starting at ``tile_offset`` of the (reordered) ell arrays."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from ..ops.ehyb_pallas import (STREAM_SUBTILES, TILE_STEPS, _VMEM_LIMIT,
-                                   _sell_body_kernel_stream)
+                                   _sell_body_kernel_stream,
+                                   _sell_body_kernel_stream_kahan)
 
     spt = STREAM_SUBTILES * TILE_STEPS
     idx_map = lambda t, wr, rs: (t + tile_offset, 0)  # noqa: E731
@@ -374,10 +375,11 @@ def _stream_call(n_tiles, interpret, vdt, tile_offset):
         ],
         out_specs=pl.BlockSpec((1, STREAM_SUBTILES, LANES), out_map,
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, LANES), vdt)],
+        scratch_shapes=[pltpu.VMEM((2 if kahan else 1, LANES), vdt)],
     )
     return pl.pallas_call(
-        _sell_body_kernel_stream, grid_spec=grid_spec,
+        _sell_body_kernel_stream_kahan if kahan
+        else _sell_body_kernel_stream, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, STREAM_SUBTILES, LANES),
                                        vdt),
         interpret=interpret,
@@ -392,7 +394,7 @@ def _stream_body_pallas(a, x_local, left_halo, right_halo, meta):
     #4's compute/communication overlap; the distributed analog of
     ``kernel.cu:150-168`` vs ``169-194``).  Scalar-prefetch maps are
     SHARDED OPERANDS (each device prefetches its own tables)."""
-    n_tiles_A, n_tiles_B, interpret, W = meta
+    n_tiles_A, n_tiles_B, interpret, W, kahan = meta
     vdt = x_local.dtype
     zeros_w = jnp.zeros(W, dtype=vdt)
     # Tail pad: window starts are aligned to the (possibly negative)
@@ -403,8 +405,8 @@ def _stream_body_pallas(a, x_local, left_halo, right_halo, meta):
     x_int = jnp.concatenate([zeros_w, x_local, zeros_w, tail])
     x_ext = jnp.concatenate([left_halo, x_local, right_halo, tail])
 
-    callA = _stream_call(n_tiles_A, interpret, vdt, 0)
-    callB = _stream_call(n_tiles_B, interpret, vdt, n_tiles_A)
+    callA = _stream_call(n_tiles_A, interpret, vdt, 0, kahan=kahan)
+    callB = _stream_call(n_tiles_B, interpret, vdt, n_tiles_A, kahan=kahan)
     yA = callA(a["stream_winA"][0], a["stream_rstA"][0],
                a["ell_col"][0], a["ell_val"][0], x_int.reshape(-1, LANES))
     yB = callB(a["stream_winB"][0], a["stream_rstB"][0],
@@ -471,7 +473,7 @@ def _shard_body(sh_meta, x_shard, a):
 
 def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
                        dtype: str = "float32",
-                       pallas_mode: str = ""):
+                       pallas_mode: str = "", kahan: bool = False):
     """Returns (apply_fn, device_arrays): ``apply_fn(arrays, x_global)`` runs
     the distributed SpMV; ``x_global`` is the reordered x padded to (D, R).
 
@@ -523,7 +525,7 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
             stream_lastB=to_dev(st["lastB"]),
             stream_maskB=to_dev(st["maskB"], cast=True))
         pallas_meta = (st["n_tiles_A"], st["n_tiles_B"],
-                       pallas_mode == "interpret", W)
+                       pallas_mode == "interpret", W, kahan)
 
     body_nnz = sum(s.get("nnz_ell", 1) for s in sh.stats.get("per_dev", [{}]))
     body = partial(_shard_body, (R, W, D, sh.dia_offsets, body_nnz,
@@ -614,7 +616,8 @@ class ShardedEhybSpmv(SpmvModel):
                                      self.plan.window_rows, self.n_dev, cfg,
                                      stream_maps=bool(self._body_mode))
         self._apply_fn, self._arrays = make_sharded_apply(
-            self.sharded, self.mesh, cfg.dtype, pallas_mode=self._body_mode)
+            self.sharded, self.mesh, cfg.dtype, pallas_mode=self._body_mode,
+            kahan=bool(cfg.compensated_sum))
         log.info("sharded EHYB over %d devices: R=%d W=%d body=%s S=%d",
                  self.n_dev, self.sharded.rows_per_dev,
                  self.sharded.window_rows,

@@ -182,3 +182,12 @@ def test_multiprocess_two_hosts():
         capture_output=True, text=True, timeout=420, env=env)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "MULTIHOST OK" in r.stdout, r.stdout[-2000:]
+
+
+def test_sharded_pallas_body_kahan(poisson_mid, monkeypatch):
+    monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
+    cfg = EhybConfig(window_rows=1024, compensated_sum=True)
+    model = ShardedEhybSpmv(cfg, mesh=make_mesh(2)).setup(poisson_mid)
+    assert model._body_mode == "interpret"
+    x = deterministic_x(poisson_mid.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(poisson_mid, x)) < 5e-6

@@ -183,3 +183,20 @@ def test_native_partitioner_beats_blocks_on_scrambled(scrambled):
     # balance sanity: largest part within 2x of ideal
     counts = np.bincount(lab_native, minlength=n_parts)
     assert counts.max() <= 2.0 * (m.dimension / n_parts), counts
+
+
+def test_ordering_sampled_estimates(poisson_mid, monkeypatch):
+    """The >20M-nnz sampled-estimate path must pick the same ordering as the
+    full estimate (exercised by shrinking the cap)."""
+    import ehyb_spmv_gpu_tpu.core.ordering as od
+    from ehyb_spmv_gpu_tpu.config import EhybConfig, WINDOW_ALIGN
+    from ehyb_spmv_gpu_tpu.core.planner import make_plan
+
+    m = poisson_mid
+    cfg = EhybConfig(window_rows=WINDOW_ALIGN, body_layout="sell_mw")
+    plan = make_plan(m.dimension, cfg)
+    r_full = od.pick_ordering(m, plan, cfg, "auto")
+    monkeypatch.setattr(od, "SAMPLE_CAP", 2000)
+    r_sampled = od.pick_ordering(m, plan, cfg, "auto")
+    # a structured matrix must keep its natural/banded ordering either way
+    np.testing.assert_array_equal(r_full.new_to_old, r_sampled.new_to_old)
