@@ -133,6 +133,12 @@ class EhybConfig:
     #: both ways when chunk-sync padding is high and keeps the cheaper body by
     #: the measured per-vreg cycle model; 'never' disables the second attempt.
     relax_body: str = "auto"
+    #: Hub-row splitting (sell_rx): per-(row, 1024-window) entry groups
+    #: larger than this move their surplus to synthetic overflow rows that
+    #: fold back at combine time — without it a hub row serializes its
+    #: pair's steps at a few-percent lane fill (powerlaw-style matrices are
+    #: lane-bound).  0/None disables.
+    row_split_threshold: int = 24
     #: Compensated (Neumaier two-sum) accumulation in the streamed Pallas
     #: body: f32 summation-order error of long slice chains collapses to ~1
     #: ulp — the TPU realization of the reference's f64 precision contract

@@ -459,10 +459,52 @@ def _sell_pack_relaxed(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     windows — a sparse window rides along with a dense one instead of
     burning its own 8-step quantum.
 
+    ROW SPLITTING: a hub row's entries within one window all compete for a
+    single lane, serializing its pair's steps at a few-percent fill (the
+    lane bound; powerlaw-style matrices).  Per-(row, window) groups larger
+    than ``config.row_split_threshold`` move their surplus to synthetic
+    overflow rows in extra slices appended after the real ones; the caller
+    scatter-adds the overflow results back (``split_src``/``split_dst`` —
+    the same compacted-row mechanism as the ER scatter-back,
+    ``kernel.cu:69-77``, applied inside the body).
+
     Returns (col_arr, val_arr, slice_offset, step_win, step_win_b, waste,
-    body_mask).
+    body_mask, split_src, split_dst).
     """
     C = slice_rows
+    split_T = int(getattr(config, "row_split_threshold", 0) or 0)
+    if getattr(config, "compensated_sum", False):
+        # splitting re-sums a row's pieces through plain f32 adds in the
+        # combine scatter — catastrophic for the cancellation-heavy inputs
+        # compensated_sum exists for; keep the whole row in one Kahan chain
+        split_T = 0
+    n_real_padded = n_rows_padded
+    split_src = np.zeros(0, dtype=np.int32)
+    split_dst = np.zeros(0, dtype=np.int32)
+    if split_T > 0 and row.size:
+        wkey = row.astype(np.int64) * (1 << 25) + ((col // 1024) + (1 << 12))
+        order_w = np.argsort(wkey, kind="stable")
+        ws = wkey[order_w]
+        run_start = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
+        run_len = np.diff(np.append(run_start, ws.shape[0]))
+        rank = np.arange(ws.shape[0], dtype=np.int64) \
+            - np.repeat(run_start, run_len)
+        over = rank // split_T          # 0 = stays; k>0 = overflow piece k
+        n_pieces = np.maximum(run_len - 1, 0) // split_T  # extra rows per run
+        if int(n_pieces.sum()) > 0:
+            piece_base = np.cumsum(n_pieces) - n_pieces  # exclusive
+            syn_of_entry = np.full(ws.shape[0], -1, dtype=np.int64)
+            ov = over > 0
+            syn_of_entry[ov] = n_rows_padded \
+                + np.repeat(piece_base, run_len)[ov] + over[ov] - 1
+            new_row = row.copy()
+            new_row[order_w[ov]] = syn_of_entry[ov]
+            n_syn = int(n_pieces.sum())
+            split_dst = np.repeat(row[order_w[run_start]].astype(np.int32),
+                                  n_pieces)
+            split_src = (np.arange(n_syn, dtype=np.int32) + n_rows_padded)
+            row = new_row
+            n_rows_padded = round_up(n_rows_padded + n_syn, C)
     n_slices = max(1, cdiv(n_rows_padded, C))
     sl = row // C
     lane = row - sl * C
@@ -481,7 +523,8 @@ def _sell_pack_relaxed(row: np.ndarray, col: np.ndarray, val: np.ndarray,
         return (np.zeros((total, C), dtype=col_dtype),
                 np.zeros((total, C), dtype=val_dtype),
                 slice_offset, np.zeros(total, dtype=np.int32),
-                np.zeros(total, dtype=np.int32), total * C, body_mask)
+                np.zeros(total, dtype=np.int32), total * C, body_mask,
+                split_src[:0], split_dst[:0])
 
     if not valid.any():
         return degenerate()
@@ -613,7 +656,7 @@ def _sell_pack_relaxed(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     waste = int(total_steps * C - int(b.sum()))
     return (col_arr, val_arr, slice_offset.astype(np.int32),
             step_win.astype(np.int32), step_win_b.astype(np.int32),
-            waste, body_mask)
+            waste, body_mask, split_src, split_dst)
 
 
 def coo_to_ehyb(m_reordered: MatrixCOO, reordering: Reordering, plan: Plan,
@@ -733,6 +776,8 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
     n_rows_padded = round_up(max(dim, 1), C)
     step_win_mw = None
     step_win_b = np.zeros(0, dtype=np.int32)
+    split_src = np.zeros(0, dtype=np.int32)
+    split_dst = np.zeros(0, dtype=np.int32)
     if config.body_layout not in ("sell_mw", "sell_rx"):
         part_of_row = np.searchsorted(boundaries, row, side="right") - 1
         win_start = boundaries[part_of_row]
@@ -761,9 +806,10 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         # (slice, window) group; re-derive the masks from its decision.
         if config.body_layout == "sell_rx":
             (ell_col, ell_val, slice_offset, step_win_mw, step_win_b,
-             waste_ell, body_mask_in) = _sell_pack_relaxed(
-                row[body_in], col[body_in], val[body_in], n_rows_padded, C,
-                config, cdt, vdt, col_range=body_col_range)
+             waste_ell, body_mask_in, split_src, split_dst) = \
+                _sell_pack_relaxed(
+                    row[body_in], col[body_in], val[body_in], n_rows_padded,
+                    C, config, cdt, vdt, col_range=body_col_range)
         else:
             (ell_col, ell_val, slice_offset, step_win_mw, waste_ell,
              body_mask_in) = _sell_pack_multiwindow(
@@ -901,6 +947,7 @@ def convert_core(row: np.ndarray, col: np.ndarray, val: np.ndarray, dim: int,
         slice_win_start=slice_win_start,
         step_win=step_win.astype(np.int32),
         step_win_b=step_win_b.astype(np.int32),
+        split_src=split_src, split_dst=split_dst,
         er_col=er_col, er_val=er_val,
         er_slice_offset=er_slice_offset.astype(np.int32), er_rows=er_rows,
         long_col=long_col, long_val=long_val, long_seg=long_seg,
@@ -917,6 +964,11 @@ def ehyb_to_dense(e: EhybMatrix) -> np.ndarray:
     C = e.ell_col.shape[1] if e.ell_col.ndim == 2 else 0
 
     rx = e.step_win_b.size > 0
+    rmap = None
+    if e.split_src.size:
+        top = int(e.split_src.max()) + 1
+        rmap = np.arange(max(top, dim + 1))
+        rmap[e.split_src] = e.split_dst
     for s in range(e.n_slices):
         lo, hi = int(e.slice_offset[s]), int(e.slice_offset[s + 1])
         for k in range(lo, hi):
@@ -925,6 +977,8 @@ def ehyb_to_dense(e: EhybMatrix) -> np.ndarray:
                 v = float(e.ell_val[k, lane])
                 if v != 0.0:
                     r = s * C + lane
+                    if rmap is not None and r < rmap.size:
+                        r = int(rmap[r])
                     if rx:
                         # relaxed lo-slot layout: the entry's lo bits live at
                         # its lane; the (sel, hi) bits live at lane == lo

@@ -99,6 +99,14 @@ class EhybMatrix:
     #: chunk-synchronized layouts (kernel uses ``step_win`` alone).
     step_win_b: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, dtype=np.int32))
+    #: Hub-row splitting (sell_rx): body row ``split_src[k]`` (a synthetic
+    #: overflow row in the slices past the real rows) accumulates surplus
+    #: entries of true row ``split_dst[k]``; combine scatter-adds them back
+    #: (the in-body analog of the ER scatter-back, kernel.cu:69-77).
+    split_src: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int32))
+    split_dst: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int32))
 
     # --- DIA body (TPU-native; extracted before SELL packing) ---
     #: (K,) int64 — diagonal offsets d (col = row + d), sorted ascending.
@@ -156,6 +164,8 @@ class EhybMatrix:
             slice_win_start=jnp.asarray(self.slice_win_start),
             step_win=jnp.asarray(self.step_win),
             step_win_b=jnp.asarray(self.step_win_b),
+            split_src=jnp.asarray(self.split_src),
+            split_dst=jnp.asarray(self.split_dst),
             er_col=jnp.asarray(self.er_col),
             er_val=cast(self.er_val),
             er_slice_offset=jnp.asarray(self.er_slice_offset),
@@ -182,6 +192,7 @@ class EhybMatrix:
             ell_col=self.ell_col, ell_val=self.ell_val,
             slice_offset=self.slice_offset, slice_win_start=self.slice_win_start,
             step_win=self.step_win, step_win_b=self.step_win_b,
+            split_src=self.split_src, split_dst=self.split_dst,
             er_col=self.er_col, er_val=self.er_val,
             er_slice_offset=self.er_slice_offset, er_rows=self.er_rows,
             long_col=self.long_col, long_val=self.long_val,
@@ -199,6 +210,9 @@ class EhybMatrix:
             extra = dict(dia_offsets=z["dia_offsets"], dia_val=z["dia_val"])
         if "step_win_b" in z:
             extra["step_win_b"] = z["step_win_b"]
+        if "split_src" in z:
+            extra["split_src"] = z["split_src"]
+            extra["split_dst"] = z["split_dst"]
         stats = {}
         if "stats_json" in z:
             stats = __import__("json").loads(bytes(z["stats_json"]).decode())
@@ -231,6 +245,9 @@ class EhybDevice:
     step_win: Any
     #: Second per-step window start (relaxed lo-slot layout; empty otherwise).
     step_win_b: Any
+    #: Hub-row splitting maps (sell_rx; empty otherwise).
+    split_src: Any
+    split_dst: Any
     er_col: Any
     er_val: Any
     er_slice_offset: Any
@@ -251,7 +268,7 @@ class EhybDevice:
     rx_body: bool = False
 
     _ARRAY_FIELDS = ("ell_col", "ell_val", "slice_offset", "slice_win_start",
-                     "step_win", "step_win_b",
+                     "step_win", "step_win_b", "split_src", "split_dst",
                      "er_col", "er_val", "er_slice_offset", "er_rows",
                      "long_col", "long_val", "long_seg", "long_rows",
                      "dia_val")

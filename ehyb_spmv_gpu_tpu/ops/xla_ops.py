@@ -164,6 +164,11 @@ def combine_ehyb(e: EhybDevice, y_body: jax.Array, y_er: jax.Array,
     ny = y_body.shape[0] + LANES  # slack so the dump row `dim` is in range
     y = jnp.zeros(ny, dtype=y_body.dtype)
     y = y.at[: y_body.shape[0]].set(y_body)
+    if e.split_src.shape[0]:
+        # hub-row splitting (sell_rx): overflow rows fold into their true
+        # rows, then are zeroed so the padded tail stays clean
+        y = y.at[e.split_dst].add(y_body[e.split_src])
+        y = y.at[e.split_src].set(0.0)
     if y_dia is not None and y_dia.shape[0]:
         n = min(y_dia.shape[0], ny)
         y = y.at[:n].add(y_dia[:n])

@@ -453,6 +453,7 @@ def _shard_body(sh_meta, x_shard, a):
         slice_offset=a["slice_offset"][0],
         slice_win_start=a["slice_win_start"][0],
         step_win=a["step_win"][0], step_win_b=a["step_win"][0][:0],
+        split_src=a["step_win"][0][:0], split_dst=a["step_win"][0][:0],
         er_col=a["er_col"][0], er_val=a["er_val"][0],
         er_slice_offset=a["er_slice_offset"][0], er_rows=a["er_rows"][0],
         long_col=a["long_col"][0], long_val=a["long_val"][0],
