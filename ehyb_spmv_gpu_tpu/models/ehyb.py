@@ -81,6 +81,13 @@ class EhybXlaSpmv(SpmvModel):
         return ehyb_apply_xla(operands if operands is not None else self.dev,
                               x_dev)
 
+    def _rx_supported(self, e_rx: "EhybMatrix") -> bool:
+        """Whether this model can run the relaxed layout (the XLA model
+        always can; the Pallas flagship overrides — its only rx kernel is
+        the streamed one, and the XLA fallback's 2D-index gathers crash the
+        TPU fusion emitter)."""
+        return True
+
     def setup(self, m: MatrixCOO) -> "EhybXlaSpmv":
         import time as _time
 
@@ -139,7 +146,8 @@ class EhybXlaSpmv(SpmvModel):
                 # Keep the cheaper body by the measured per-vreg cycle model
                 # (relaxed pays one extra sublane gather + select per vreg).
                 if (e_rx.stats["ell_steps"] * _CYC_RX_VREG
-                        < st["ell_steps"] * _CYC_MW_VREG):
+                        < st["ell_steps"] * _CYC_MW_VREG
+                        and self._rx_supported(e_rx)):
                     log.info("relaxed body wins: %d → %d ell steps",
                              st["ell_steps"], e_rx.stats["ell_steps"])
                     self.ehyb = e_rx
@@ -190,6 +198,21 @@ class EhybSpmv(EhybXlaSpmv):
         if force:
             return force  # "1" (compiled) or "interpret"
         return "1" if jax.default_backend() == "tpu" else ""
+
+    def _rx_supported(self, e_rx) -> bool:
+        if not self._pallas_mode():
+            return True  # XLA apply handles rx on CPU
+        # The Pallas flagship's only rx kernel is the streamed one: it needs
+        # a VMEM-resident x and the SMEM prefetch budget.  Without them the
+        # rx apply would fall back to the XLA body, whose 2D-index gathers
+        # crash the TPU fusion emitter (verify-skill note) — keep chunk-sync
+        # (resident/windowed kernels) instead.
+        from ..ops.ehyb_pallas import X_RESIDENT_BYTES, stream_body_fits
+
+        resident = (e_rx.padded_x_rows
+                    * np.dtype(self.config.dtype).itemsize
+                    <= X_RESIDENT_BYTES)
+        return resident and stream_body_fits(e_rx)
 
     def setup(self, m: MatrixCOO) -> "EhybSpmv":
         mode = self._pallas_mode()

@@ -305,3 +305,17 @@ def test_compensated_sum_interpret():
     assert abs(y_n[0] - 100.0) > 1e-4, y_n[0]
     # background rows unaffected
     np.testing.assert_allclose(y_c[1:], 1.0, rtol=1e-6)
+
+
+def test_rx_switch_respects_stream_feasibility(scrambled, monkeypatch):
+    """On the Pallas flagship the relaxed auto-switch must NOT fire when the
+    streamed kernel can't run (the XLA rx fallback's gathers crash the TPU
+    fusion emitter)."""
+    import ehyb_spmv_gpu_tpu.ops.ehyb_pallas as ep
+
+    monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
+    monkeypatch.setattr(ep, "_SMEM_PREFETCH_BUDGET", 8)  # stream infeasible
+    model = ehyb.EhybSpmv(EhybConfig()).setup(scrambled)
+    assert model.config.body_layout == "sell_mw"  # switch suppressed
+    x = deterministic_x(scrambled.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
