@@ -158,16 +158,20 @@ def bench_apply(name: str, apply_iters: Callable[[int], jax.Array], nnz: int,
         return measure_loop(apply_iters, n_iters, warmup=0) * n_iters
 
     # Adaptive length: per-iteration times in the microseconds are invisible
-    # inside the remote-dispatch noise (±tens of ms through the tunnel), so
-    # grow the iteration count until the measured region is ≳50 ms, then take
-    # the best of two runs.
+    # inside the remote-dispatch noise (observed up to ±100 ms through the
+    # tunnel in degraded sessions), so grow the iteration count until the
+    # measured region is ≳1 s, then take the best of three runs.  1 s costs
+    # nothing on slow matrices (already past it) and a few seconds on fast
+    # ones — far cheaper than reporting a 5x-noise number.
+    _TARGET = 1.0
     dt = measure(iters)
-    for _ in range(4):
-        if dt >= 0.05 or iters >= 1_000_000:
+    for _ in range(5):
+        if dt >= _TARGET or iters >= 4_000_000:
             break
-        iters = min(iters * max(2, int(0.1 / max(dt, 1e-6) + 1)), 1_000_000)
+        iters = min(iters * max(2, int(1.5 * _TARGET / max(dt, 1e-6) + 1)),
+                    4_000_000)
         dt = measure(iters)
-    dt = min(dt, measure(iters))
+    dt = min(dt, measure(iters), measure(iters))
 
     gflops = 1e-9 * (2.0 * nnz) * iters / dt
     nnz_rate = nnz * iters / dt
