@@ -137,8 +137,12 @@ class EhybConfig:
     #: larger than this move their surplus to synthetic overflow rows that
     #: fold back at combine time — without it a hub row serializes its
     #: pair's steps at a few-percent lane fill (powerlaw-style matrices are
-    #: lane-bound).  0/None disables.
-    row_split_threshold: int = 24
+    #: lane-bound).  OFF by default (0): measured on v5e, the combine's
+    #: scatter-add of the pieces (~14 cyc/element, the gather wall) costs
+    #: more than the saved body steps at 16k-row scale (powerlaw_16k:
+    #: -22%% steps but +70%% wall).  A knob for matrices whose hub rows
+    #: dominate harder.
+    row_split_threshold: int = 0
     #: Compensated (Neumaier two-sum) accumulation in the streamed Pallas
     #: body: f32 summation-order error of long slice chains collapses to ~1
     #: ulp — the TPU realization of the reference's f64 precision contract
