@@ -4,10 +4,10 @@ TPU re-design of ``kernelCachedBlockedELL`` (``kernel.cu:110-195``).  Mapping of
 the reference's mechanisms onto the TPU hardware model:
 
   * **explicit cache**: the GPU kernel stages each partition's x slice in 94 KB
-    of shared memory (``kernel.cu:129-141``).  VMEM is ~16 MB, so for matrices
-    up to ~2.5M rows the *entire* x vector is VMEM-resident for the whole
-    kernel (the logical endpoint of "explicit caching"), and each 8-step tile
-    selects its 1024-row window with a dynamic sublane slice
+    of shared memory (``kernel.cu:129-141``).  With the scoped-VMEM limit
+    raised, matrices up to ~16M rows keep the *entire* x vector VMEM-resident
+    for the whole kernel (the logical endpoint of "explicit caching"), and
+    each 8-step tile selects its 1024-row window with a dynamic sublane slice
     (``x_ref[pl.ds(win_row, 8), :]``).  For larger matrices the windowed
     variant DMAs per-tile window blocks via a scalar-prefetched BlockSpec.
   * **work distribution**: the GPU kernel work-steals 32-row ELL blocks with a
@@ -26,8 +26,18 @@ the reference's mechanisms onto the TPU hardware model:
     its tiles stream by (revisited output index); the cross-sublane reduction
     happens once per slice in XLA afterwards.
 
-The ER tail and long rows keep their XLA formulations (global-column gathers —
-the analog of the uncached phase 2, ``kernel.cu:169-194``).
+The RELAXED lo-slot layout (``sell_rx``) generalizes the chunk-sync
+constraint: the two-stage gather only requires each lane position of a step
+to map to one window chunk (verified on hardware,
+``scripts/probe_wide_gather.py``), so the packed index carries per-slot
+``(sel, hi)`` bits and each sub-tile serves a window PAIR — 1.5-2.3x less
+padding on scattered matrices.  The streamed kernels fold the slice
+reduction into a reset-cumulative scratch (the grid is sequential), so the
+caller only row-gathers each slice's closing sub-tile.
+
+The ER tail and long rows keep their XLA formulations (global-column gathers
+— the analog of the uncached phase 2, ``kernel.cu:169-194``); the relaxed
+body keeps them near-empty.
 """
 from __future__ import annotations
 

@@ -12,15 +12,21 @@ realization sketched in SURVEY.md §5 "Distributed communication backend":
     grouped tightly-coupled rows contiguously;
   * the SELL **body** reads x windows that live on-device or in a ±window halo
     fetched from the ring neighbors with ``jax.lax.ppermute`` — the distributed
-    analog of the kernel's cached phase (``kernel.cu:150-168``);
-  * the **ER tail + long rows** read arbitrary global columns, served from an
-    ``all_gather`` of x — the analog of the kernel's uncached global phase
-    (``kernel.cu:169-194``).  (A compressed per-pair halo exchange is the
-    planned refinement; all-gather is the correct, simple baseline.)
+    analog of the kernel's cached phase (``kernel.cu:150-168``).  On TPU the
+    body runs the fused streamed Pallas kernel inside the shard, physically
+    split into an INTERIOR part (no halo dependency — XLA can overlap the
+    ppermute with it) and a BOUNDARY part;
+  * the **ER tail + long rows** read arbitrary global columns, served by a
+    COMPRESSED ``all_to_all`` exchange over per-(owner, requester) request
+    lists computed at convert time — received bytes ∝ the cut, not the
+    dimension (the analog of the kernel's uncached global phase,
+    ``kernel.cu:169-194``, made cut-proportional).
 
 Everything is SPMD via ``jax.shard_map`` with static per-shard shapes: the
-per-device EHYB sub-formats are padded to common shapes and stacked on a
-leading device axis.
+per-device EHYB sub-formats (and the Pallas scalar-prefetch maps) are padded
+to common shapes and stacked on a leading device axis.  Works on a
+single-process mesh and across processes under ``jax.distributed``
+(``scripts/multihost.py``).
 """
 from __future__ import annotations
 
