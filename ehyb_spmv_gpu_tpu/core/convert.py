@@ -482,7 +482,11 @@ def _sell_pack_relaxed(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     split_src = np.zeros(0, dtype=np.int32)
     split_dst = np.zeros(0, dtype=np.int32)
     if split_T > 0 and row.size:
-        wkey = row.astype(np.int64) * (1 << 25) + ((col // 1024) + (1 << 12))
+        # fused (row, window) key; exact multiplier (a fixed 1<<25 would
+        # alias rows beyond 33M)
+        woff = 1 - min(int(col.min(initial=0)) // 1024, 0)  # windows >= 1
+        wspan = int(col.max(initial=0)) // 1024 + woff + 2
+        wkey = row.astype(np.int64) * wspan + (col // 1024) + woff
         order_w = np.argsort(wkey, kind="stable")
         ws = wkey[order_w]
         run_start = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
