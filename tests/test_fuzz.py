@@ -94,3 +94,59 @@ def test_fuzz_pallas_interpret(seed):
         assert err < 1e-4, err
     finally:
         os.environ.pop("EHYB_FORCE_PALLAS", None)
+
+
+RX_CONFIGS = [
+    {"body_layout": "sell_rx"},
+    {"body_layout": "sell_rx", "row_split_threshold": 8},
+    {"body_layout": "sell_rx", "min_window_group_nnz": 1},
+    {"body_layout": "sell_rx", "compensated_sum": True},
+    {"body_layout": "sell_rx", "row_split_threshold": 4,
+     "min_window_group_nnz": 1},
+    {"body_layout": "sell_rx", "features": Features(dia=False)},
+]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_rx_convert_and_apply(seed):
+    """Fuzz the relaxed layout (+ row splitting / compensation combos)
+    through conversion invariants, dense reconstruction, and oracle parity
+    on the XLA path."""
+    rng = np.random.default_rng(100 + seed)
+    style = ["uniform", "banded", "diag_plus_noise", "dense_row"][seed % 4]
+    dim = int(rng.integers(100, 1500))
+    m = random_matrix(rng, dim, style)
+    cfg = dataclasses.replace(
+        EhybConfig(dtype="float64", window_rows=1024), **RX_CONFIGS[seed])
+
+    model = ehyb.MODELS["ehyb_xla"](cfg).setup(m)
+    s = model.ehyb.stats
+    assert (s["nnz_dia"] + s["nnz_ell"] + s["nnz_er"] + s["nnz_long"]
+            == m.nnz), (style, s)
+    m_r = model.reordering.apply_to_matrix(m)
+    verify_conversion(m_r, model.ehyb)
+    x = deterministic_x(m.dimension)
+    err = rel_error(model.matvec(x), oracle_spmv(m, x))
+    assert err < 5e-6, (style, RX_CONFIGS[seed], err)
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22, 23])
+def test_fuzz_rx_pallas_interpret(seed):
+    """Relaxed-layout fuzz through the streamed Pallas kernel (interpret)."""
+    import os
+
+    rng = np.random.default_rng(seed)
+    m = random_matrix(rng, int(rng.integers(300, 1200)),
+                      ["uniform", "banded", "dense_row", "diag_plus_noise"]
+                      [seed % 4])
+    cfg = dataclasses.replace(EhybConfig(body_layout="sell_rx"),
+                              **({"row_split_threshold": 8} if seed % 2
+                                 else {"compensated_sum": True}))
+    os.environ["EHYB_FORCE_PALLAS"] = "interpret"
+    try:
+        model = ehyb.MODELS["ehyb"](cfg).setup(m)
+        x = deterministic_x(m.dimension)
+        err = rel_error(model.matvec(x), oracle_spmv(m, x))
+        assert err < 1e-4, err
+    finally:
+        os.environ.pop("EHYB_FORCE_PALLAS", None)
