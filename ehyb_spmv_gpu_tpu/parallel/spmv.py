@@ -77,6 +77,7 @@ class ShardedEhyb:
     slice_offset: np.ndarray     # (D, R/C + 1)
     slice_win_start: np.ndarray  # (D, R/C)  — offsets into the EXTENDED x
     step_win: np.ndarray         # (D, steps) — per-step window starts (ext x)
+    step_win_b: np.ndarray       # (D, steps) — rx second windows (or 0s)
     er_col: np.ndarray           # (D, er_steps, C) — GLOBAL columns
     er_val: np.ndarray
     er_slice_offset: np.ndarray  # (D, n_er_slices + 1)
@@ -156,6 +157,9 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         # Window starts into the extended x [halo_W | local_R | halo_W].
         e.slice_win_start = (e.slice_win_start.astype(np.int64) + W).astype(np.int32)
         e.step_win = (e.step_win.astype(np.int64) + W).astype(np.int32)
+        if e.step_win_b.size:
+            e.step_win_b = (e.step_win_b.astype(np.int64)
+                            + W).astype(np.int32)
         # ER/long columns back to global coordinates (padding cells have
         # val == 0, so the shifted padding gather is harmless).
         e.er_col = (e.er_col.astype(np.int64) + b0).astype(np.int32)
@@ -225,22 +229,27 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
 
         spt = STREAM_SUBTILES
         n_slices_c = shards[0].n_slices  # uniform: every shard has R rows
+        rx = bool(shards[0].step_win_b.size)  # layout uniform across shards
         per = []
         for s in shards:
-            sub_win, _wb, sub_slice, _rs, _ls, _t = build_stream_maps(s)
+            sub_win, sub_wb, sub_slice, _rs, _ls, _t = build_stream_maps(s)
             n_sub = s.ell_col.shape[0] // TILE_STEPS
-            sub_win, sub_slice = sub_win[:max(n_sub, 0)], \
-                sub_slice[:max(n_sub, 0)]
-            # interior: full 1024-row window within local rows (ext coords
-            # [W, W+R]); padding/degenerate sub-tiles count as interior
+            sub_win = sub_win[:max(n_sub, 0)]
+            sub_slice = sub_slice[:max(n_sub, 0)]
+            sub_wb = sub_wb[:max(n_sub, 0)] if sub_wb is not None else sub_win
+            # interior: every window the sub-tile touches lies fully within
+            # the local rows (ext coords [W, W+R]); padding sub-tiles count
+            # as interior
             w0 = sub_win.astype(np.int64) * 128
-            interior = (w0 >= W) & (w0 + 1024 <= W + R)
+            w1 = sub_wb.astype(np.int64) * 128
+            interior = ((w0 >= W) & (w0 + 1024 <= W + R)
+                        & (w1 >= W) & (w1 + 1024 <= W + R))
             interior |= sub_slice >= n_slices_c  # stream padding sub-tiles
-            per.append((sub_win, sub_slice, interior))
+            per.append((sub_win, sub_wb, sub_slice, interior))
 
-        def group_maps(sub_win, sub_slice, sel):
-            """Per-group (win, reset, last, present) in the group's order."""
-            w = sub_win[sel]
+        def group_maps(sub_win, sub_wb, sub_slice, sel):
+            """Per-group (winA, winB, reset, last, present) in group order."""
+            w, wb = sub_win[sel], sub_wb[sel]
             sl = sub_slice[sel]
             rs = np.ones(w.shape[0], dtype=np.int32)
             if w.shape[0]:
@@ -254,36 +263,42 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
                 ok = sl[idx] < n_slices_c
                 last[sl[idx[ok]]] = idx[ok]
                 present[sl[idx[ok]]] = 1.0
-            return w, rs, last, present, sl
+            return w, wb, rs, last, present
 
-        kA = max((int(p[2].sum()) for p in per), default=0)
-        kB = max((int((~p[2]).sum()) for p in per), default=0)
+        kA = max((int(p[3].sum()) for p in per), default=0)
+        kB = max((int((~p[3]).sum()) for p in per), default=0)
         n_tiles_A = max(1, -(-kA // spt))
         n_tiles_B = max(1, -(-kB // spt))
         nsA, nsB = n_tiles_A * spt, n_tiles_B * spt
         winA = np.zeros((n_dev, nsA), dtype=np.int32)
+        winbA = np.zeros((n_dev, nsA), dtype=np.int32)
         rstA = np.ones((n_dev, nsA), dtype=np.int32)
         lastA = np.zeros((n_dev, n_slices_c), dtype=np.int32)
         maskA = np.zeros((n_dev, n_slices_c), dtype=np.float32)
         winB = np.zeros((n_dev, nsB), dtype=np.int32)
+        winbB = np.zeros((n_dev, nsB), dtype=np.int32)
         rstB = np.ones((n_dev, nsB), dtype=np.int32)
         lastB = np.zeros((n_dev, n_slices_c), dtype=np.int32)
         maskB = np.zeros((n_dev, n_slices_c), dtype=np.float32)
         # physically reorder each shard's ell arrays: interior sub-tiles
         # first (padded to whole tiles), then boundary sub-tiles
-        for i, (s, (sub_win, sub_slice, interior)) in enumerate(
+        for i, (s, (sub_win, sub_wb, sub_slice, interior)) in enumerate(
                 zip(shards, per)):
             C_ = config.slice_rows
             col3 = s.ell_col.reshape(-1, TILE_STEPS, C_)
             val3 = s.ell_val.reshape(-1, TILE_STEPS, C_)
             selA = np.flatnonzero(interior)
             selB = np.flatnonzero(~interior)
-            wA, rA, lA, mA, _ = group_maps(sub_win, sub_slice, interior)
-            wB, rB, lB, mB, _ = group_maps(sub_win, sub_slice, ~interior)
+            wA, wbA, rA, lA, mA = group_maps(sub_win, sub_wb, sub_slice,
+                                             interior)
+            wB, wbB, rB, lB, mB = group_maps(sub_win, sub_wb, sub_slice,
+                                             ~interior)
             winA[i, : wA.shape[0]] = wA
+            winbA[i, : wbA.shape[0]] = wbA
             rstA[i, : rA.shape[0]] = rA
             lastA[i], maskA[i] = lA, mA
             winB[i, : wB.shape[0]] = wB
+            winbB[i, : wbB.shape[0]] = wbB
             rstB[i, : rB.shape[0]] = rB
             lastB[i], maskB[i] = lB, mB
             new_col = np.zeros((nsA + nsB, TILE_STEPS, C_),
@@ -298,9 +313,12 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
             s.ell_val = new_val.reshape(-1, C_)
             # step_win is superseded by the group maps; keep shape-consistent
             s.step_win = np.zeros(s.ell_col.shape[0], dtype=np.int32)
-        stream = dict(winA=winA, rstA=rstA, lastA=lastA, maskA=maskA,
-                      winB=winB, rstB=rstB, lastB=lastB, maskB=maskB,
-                      n_tiles_A=n_tiles_A, n_tiles_B=n_tiles_B)
+            s.step_win_b = s.step_win_b[:0]
+        stream = dict(winA=winA, winbA=winbA, rstA=rstA, lastA=lastA,
+                      maskA=maskA,
+                      winB=winB, winbB=winbB, rstB=rstB, lastB=lastB,
+                      maskB=maskB,
+                      n_tiles_A=n_tiles_A, n_tiles_B=n_tiles_B, rx=rx)
 
     # ---- pad to common shapes + stack ----
     C = config.slice_rows
@@ -337,6 +355,9 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
                                                  s.n_slices, steps)),
         slice_win_start=stack(lambda s: s.slice_win_start),
         step_win=stack(lambda s: _pad_rows(s.step_win, steps, fill=0)),
+        step_win_b=stack(lambda s: _pad_rows(
+            s.step_win_b if s.step_win_b.size else
+            np.zeros_like(s.step_win), steps, fill=0)),
         er_col=stack(lambda s: _pad_rows(s.er_col, er_steps, fill=W)),
         er_val=stack(lambda s: _pad_rows(s.er_val, er_steps)),
         er_slice_offset=stack(lambda s: pad_offsets(s.er_slice_offset,
@@ -353,12 +374,14 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         send_idx=send_idx, exchange_slots=S,
         stream=stream,
         stats={"per_dev": [s.stats for s in shards], "R": R, "W": W,
-               "exchange_slots": S, "req_sizes": req_sizes.tolist()},
+               "exchange_slots": S, "req_sizes": req_sizes.tolist(),
+               "layout": config.body_layout},
     )
     return sh
 
 
-def _stream_call(n_tiles, interpret, vdt, tile_offset, kahan=False):
+def _stream_call(n_tiles, interpret, vdt, tile_offset, kahan=False,
+                 rx=False):
     """Build one streamed-body pallas_call whose col/val BlockSpecs read
     tiles starting at ``tile_offset`` of the (reordered) ell arrays."""
     from jax.experimental import pallas as pl
@@ -366,13 +389,25 @@ def _stream_call(n_tiles, interpret, vdt, tile_offset, kahan=False):
 
     from ..ops.ehyb_pallas import (STREAM_SUBTILES, TILE_STEPS, _VMEM_LIMIT,
                                    _sell_body_kernel_stream,
-                                   _sell_body_kernel_stream_kahan)
+                                   _sell_body_kernel_stream_kahan,
+                                   _sell_body_kernel_stream_rx,
+                                   _sell_body_kernel_stream_rx_kahan)
 
     spt = STREAM_SUBTILES * TILE_STEPS
-    idx_map = lambda t, wr, rs: (t + tile_offset, 0)  # noqa: E731
-    out_map = lambda t, wr, rs: (t, 0, 0)  # noqa: E731
+    if rx:
+        idx_map = lambda t, wa, wb, rs: (t + tile_offset, 0)  # noqa: E731
+        out_map = lambda t, wa, wb, rs: (t, 0, 0)  # noqa: E731
+        kernel = _sell_body_kernel_stream_rx_kahan if kahan \
+            else _sell_body_kernel_stream_rx
+        n_prefetch = 3
+    else:
+        idx_map = lambda t, wr, rs: (t + tile_offset, 0)  # noqa: E731
+        out_map = lambda t, wr, rs: (t, 0, 0)  # noqa: E731
+        kernel = _sell_body_kernel_stream_kahan if kahan \
+            else _sell_body_kernel_stream
+        n_prefetch = 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=n_prefetch,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((spt, LANES), idx_map, memory_space=pltpu.VMEM),
@@ -384,8 +419,7 @@ def _stream_call(n_tiles, interpret, vdt, tile_offset, kahan=False):
         scratch_shapes=[pltpu.VMEM((2 if kahan else 1, LANES), vdt)],
     )
     return pl.pallas_call(
-        _sell_body_kernel_stream_kahan if kahan
-        else _sell_body_kernel_stream, grid_spec=grid_spec,
+        kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, STREAM_SUBTILES, LANES),
                                        vdt),
         interpret=interpret,
@@ -400,7 +434,7 @@ def _stream_body_pallas(a, x_local, left_halo, right_halo, meta):
     #4's compute/communication overlap; the distributed analog of
     ``kernel.cu:150-168`` vs ``169-194``).  Scalar-prefetch maps are
     SHARDED OPERANDS (each device prefetches its own tables)."""
-    n_tiles_A, n_tiles_B, interpret, W, kahan = meta
+    n_tiles_A, n_tiles_B, interpret, W, kahan, rx = meta
     vdt = x_local.dtype
     zeros_w = jnp.zeros(W, dtype=vdt)
     # Tail pad: window starts are aligned to the (possibly negative)
@@ -411,12 +445,25 @@ def _stream_body_pallas(a, x_local, left_halo, right_halo, meta):
     x_int = jnp.concatenate([zeros_w, x_local, zeros_w, tail])
     x_ext = jnp.concatenate([left_halo, x_local, right_halo, tail])
 
-    callA = _stream_call(n_tiles_A, interpret, vdt, 0, kahan=kahan)
-    callB = _stream_call(n_tiles_B, interpret, vdt, n_tiles_A, kahan=kahan)
-    yA = callA(a["stream_winA"][0], a["stream_rstA"][0],
-               a["ell_col"][0], a["ell_val"][0], x_int.reshape(-1, LANES))
-    yB = callB(a["stream_winB"][0], a["stream_rstB"][0],
-               a["ell_col"][0], a["ell_val"][0], x_ext.reshape(-1, LANES))
+    callA = _stream_call(n_tiles_A, interpret, vdt, 0, kahan=kahan, rx=rx)
+    callB = _stream_call(n_tiles_B, interpret, vdt, n_tiles_A, kahan=kahan,
+                         rx=rx)
+    if rx:
+        yA = callA(a["stream_winA"][0], a["stream_winbA"][0],
+                   a["stream_rstA"][0],
+                   a["ell_col"][0], a["ell_val"][0],
+                   x_int.reshape(-1, LANES))
+        yB = callB(a["stream_winB"][0], a["stream_winbB"][0],
+                   a["stream_rstB"][0],
+                   a["ell_col"][0], a["ell_val"][0],
+                   x_ext.reshape(-1, LANES))
+    else:
+        yA = callA(a["stream_winA"][0], a["stream_rstA"][0],
+                   a["ell_col"][0], a["ell_val"][0],
+                   x_int.reshape(-1, LANES))
+        yB = callB(a["stream_winB"][0], a["stream_rstB"][0],
+                   a["ell_col"][0], a["ell_val"][0],
+                   x_ext.reshape(-1, LANES))
     yA2 = jnp.take(yA.reshape(-1, LANES), a["stream_lastA"][0], axis=0)
     yB2 = jnp.take(yB.reshape(-1, LANES), a["stream_lastB"][0], axis=0)
     y = yA2 * a["stream_maskA"][0][:, None] \
@@ -427,7 +474,7 @@ def _stream_body_pallas(a, x_local, left_halo, right_halo, meta):
 def _shard_body(sh_meta, x_shard, a):
     """Per-device SPMD body (runs under shard_map; axis name AXIS).
     ``a`` is the dict of stacked per-device arrays (leading axis sharded)."""
-    R, W, n_dev, dia_offsets, body_nnz, S, pallas_meta = sh_meta
+    R, W, n_dev, dia_offsets, body_nnz, S, pallas_meta, rx_body = sh_meta
     x_local = x_shard.reshape(-1)  # (R,)
 
     # Ring halos: left halo = last W rows of the left neighbor, right halo =
@@ -458,13 +505,16 @@ def _shard_body(sh_meta, x_shard, a):
         ell_col=a["ell_col"][0], ell_val=a["ell_val"][0],
         slice_offset=a["slice_offset"][0],
         slice_win_start=a["slice_win_start"][0],
-        step_win=a["step_win"][0], step_win_b=a["step_win"][0][:0],
+        step_win=a["step_win"][0],
+        step_win_b=a["step_win_b"][0] if rx_body
+        else a["step_win"][0][:0],
         split_src=a["step_win"][0][:0], split_dst=a["step_win"][0][:0],
         er_col=a["er_col"][0], er_val=a["er_val"][0],
         er_slice_offset=a["er_slice_offset"][0], er_rows=a["er_rows"][0],
         long_col=a["long_col"][0], long_val=a["long_val"][0],
         long_seg=a["long_seg"][0], long_rows=a["long_rows"][0],
-        dia_val=a["dia_val"][0], dia_offsets=dia_offsets, body_nnz=body_nnz)
+        dia_val=a["dia_val"][0], dia_offsets=dia_offsets, body_nnz=body_nnz,
+        rx_body=rx_body)
 
     if pallas_meta is not None and body_nnz:
         y_body = _stream_body_pallas(a, x_local, left_halo, right_halo,
@@ -512,6 +562,7 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
         slice_offset=to_dev(sh.slice_offset),
         slice_win_start=to_dev(sh.slice_win_start),
         step_win=to_dev(sh.step_win),
+        step_win_b=to_dev(sh.step_win_b),
         er_col=to_dev(sh.er_col), er_val=to_dev(sh.er_val, cast=True),
         er_slice_offset=to_dev(sh.er_slice_offset), er_rows=to_dev(sh.er_rows),
         long_col=to_dev(sh.long_col), long_val=to_dev(sh.long_val, cast=True),
@@ -526,17 +577,23 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
         st = sh.stream
         arrays.update(
             stream_winA=to_dev(st["winA"]), stream_rstA=to_dev(st["rstA"]),
+            stream_winbA=to_dev(st["winbA"]),
             stream_lastA=to_dev(st["lastA"]),
             stream_maskA=to_dev(st["maskA"], cast=True),
             stream_winB=to_dev(st["winB"]), stream_rstB=to_dev(st["rstB"]),
+            stream_winbB=to_dev(st["winbB"]),
             stream_lastB=to_dev(st["lastB"]),
             stream_maskB=to_dev(st["maskB"], cast=True))
         pallas_meta = (st["n_tiles_A"], st["n_tiles_B"],
-                       pallas_mode == "interpret", W, kahan)
+                       pallas_mode == "interpret", W, kahan, st["rx"])
 
     body_nnz = sum(s.get("nnz_ell", 1) for s in sh.stats.get("per_dev", [{}]))
+    # rx XLA fallback (CPU tests without Pallas): the body must decode the
+    # packed lo-slot indices; when the stream maps reordered the arrays the
+    # Pallas path is guaranteed and step_win_b was cleared
+    rx_body = (sh.stats.get("layout") == "sell_rx" and pallas_meta is None)
     body = partial(_shard_body, (R, W, D, sh.dia_offsets, body_nnz,
-                                 sh.exchange_slots, pallas_meta))
+                                 sh.exchange_slots, pallas_meta, rx_body))
 
     @jax.jit
     def apply_fn(arrs, x_global):
@@ -597,7 +654,8 @@ class ShardedEhybSpmv(SpmvModel):
         from ..config import WINDOW_ALIGN
 
         self._body_mode = self._pallas_mode() if W == WINDOW_ALIGN else ""
-        if self._body_mode and cfg.body_layout not in ("sell_mw", "sell_cs"):
+        if self._body_mode and cfg.body_layout not in ("sell_mw", "sell_cs",
+                                                       "sell_rx"):
             idx_dtype = cfg.index_dtype
             if idx_dtype == "int32":
                 idx_dtype = "int16"  # window-local cols < 1024
@@ -619,6 +677,33 @@ class ShardedEhybSpmv(SpmvModel):
             self.reordering = identity_reordering(dim, bounds)
 
         m_r = self.reordering.apply_to_matrix(m)
+        if (cfg.body_layout == "sell_mw" and cfg.relax_body == "auto"
+                and self._body_mode):
+            # Mirror the single-chip flagship: convert chunk-sync first; if
+            # the aggregate padding is high, reconvert every shard with the
+            # relaxed layout (the choice must be SPMD-uniform).  Decided
+            # BEFORE the stream maps physically reorder the arrays.
+            probe = build_sharded(m_r, self.reordering,
+                                  self.plan.window_rows, self.n_dev, cfg,
+                                  stream_maps=False)
+            from ..models.ehyb import (_CYC_MW_VREG, _CYC_RX_VREG,
+                                       _RELAX_WASTE_GATE)
+
+            per = probe.stats["per_dev"]
+            nnz_ell = sum(s["nnz_ell"] for s in per)
+            waste = sum(s["waste_ell"] for s in per)
+            steps_mw = sum(s["ell_steps"] for s in per)
+            if nnz_ell > 0 and waste > _RELAX_WASTE_GATE * (nnz_ell + waste):
+                cfg_rx = dataclasses.replace(cfg, body_layout="sell_rx")
+                probe_rx = build_sharded(m_r, self.reordering,
+                                         self.plan.window_rows, self.n_dev,
+                                         cfg_rx, stream_maps=False)
+                steps_rx = sum(s["ell_steps"]
+                               for s in probe_rx.stats["per_dev"])
+                if steps_rx * _CYC_RX_VREG < steps_mw * _CYC_MW_VREG:
+                    log.info("sharded relaxed body wins: %d → %d ell steps",
+                             steps_mw, steps_rx)
+                    self.config = cfg = cfg_rx
         self.sharded = build_sharded(m_r, self.reordering,
                                      self.plan.window_rows, self.n_dev, cfg,
                                      stream_maps=bool(self._body_mode))

@@ -191,3 +191,26 @@ def test_sharded_pallas_body_kahan(poisson_mid, monkeypatch):
     assert model._body_mode == "interpret"
     x = deterministic_x(poisson_mid.dimension)
     assert rel_error(model.matvec(x), oracle_spmv(poisson_mid, x)) < 5e-6
+
+
+def test_sharded_rx_auto_switch(scrambled, monkeypatch):
+    """The sharded path mirrors the flagship's relaxed auto-switch (must be
+    SPMD-uniform) and runs the rx streamed kernel in-shard."""
+    monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
+    model = ShardedEhybSpmv(EhybConfig(window_rows=1024),
+                            mesh=make_mesh(2)).setup(scrambled)
+    assert model.config.body_layout == "sell_rx"
+    assert model.sharded.stream["rx"] is True
+    x = deterministic_x(scrambled.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
+
+
+def test_sharded_rx_xla_fallback(scrambled):
+    """Explicit sell_rx without Pallas (CPU): the XLA body decodes the
+    packed lo-slot indices through the sharded path."""
+    model = ShardedEhybSpmv(EhybConfig(window_rows=1024,
+                                       body_layout="sell_rx"),
+                            mesh=make_mesh(4)).setup(scrambled)
+    assert model.sharded.stats["layout"] == "sell_rx"
+    x = deterministic_x(scrambled.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
