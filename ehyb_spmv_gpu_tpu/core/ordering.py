@@ -225,8 +225,22 @@ def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
         return two_level_reorder(m, labels, plan, sort_rows=True,
                                  sort_mode="pattern")
 
+    def partition_rcm():
+        # Composition: partition grouping first, THEN RCM on the regrouped
+        # matrix.  Measured 1.2-1.5x fewer relaxed-body steps than direct
+        # RCM on scrambled stencils (the grouping changes RCM's BFS seeds
+        # and level structure); ~equal elsewhere.
+        labels = partition_rows(m, plan.n_parts, config.partitioner,
+                                config.partition_imbalance)
+        r1 = two_level_reorder(m, labels, plan, sort_rows=True,
+                               sort_mode="pattern")
+        m1 = r1.apply_to_matrix(m)
+        order2 = rcm_order(m1)
+        return reordering_from_order(r1.new_to_old[order2], dim)
+
     candidates = {"natural": natural, "rcm": rcm,
-                  "rcm_pattern": rcm_pattern, "partition": partition}
+                  "rcm_pattern": rcm_pattern, "partition": partition,
+                  "partition_rcm": partition_rcm}
     if mode in candidates:
         return candidates[mode]()
     if mode != "auto":
