@@ -131,6 +131,7 @@ def _refine_within_shards(m: MatrixCOO, reordering: Reordering, R: int,
     col1 = old_to_new[m.col]
     local_perm = np.arange(dim, dtype=np.int64)  # final-new → current-new
     changed = False
+    _SAMPLE = 5_000_000
     for d in range(n_dev):
         b0, b1 = d * R, min((d + 1) * R, dim)
         if b1 <= b0:
@@ -141,6 +142,18 @@ def _refine_within_shards(m: MatrixCOO, reordering: Reordering, R: int,
         r_l = row1[sel] - b0
         c_l = col1[sel] - b0
         n_l = b1 - b0
+        if r_l.size > _SAMPLE:
+            # pre-gate on a sample: skip the (expensive) local RCM when the
+            # partition ordering is already tight — e.g. DIA-dominated FEM
+            # shards, where minutes of BFS would buy nothing
+            rng = np.random.default_rng(d)
+            pick = rng.random(r_l.size) < _SAMPLE / r_l.size
+            est_s = estimate_mw_steps(r_l[pick], c_l[pick],
+                                      n_l, config.slice_rows,
+                                      max(1, config.min_window_group_nnz))
+            ideal_s = max(1, int(pick.sum()) // config.slice_rows)
+            if est_s < 3 * ideal_s:
+                continue  # padding already low; RCM can't win 20%
         est_id = estimate_mw_steps(r_l, c_l, n_l, config.slice_rows,
                                    config.min_window_group_nnz)
         sub = MatrixCOO(n_l, n_l, r_l, c_l, np.ones(r_l.shape[0]))
