@@ -115,7 +115,7 @@ def main(argv=None) -> int:
             print(f"error: unknown corpus entry {args.generate!r} "
                   f"(use --list-corpus)", file=sys.stderr)
             return 2
-        m = generate.CORPUS[args.generate]()
+        m = generate.load_corpus(args.generate)
         name = args.generate
     print(f"matrix {name}: {m.n_rows}x{m.n_cols}, nnz={m.nnz}, "
           f"maxCol={m.max_col()}")

@@ -26,14 +26,28 @@ DEFAULT_CACHE_DIR = os.environ.get(
     "EHYB_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".cache", "ehyb"))
 
 
+#: Entries sampled per array by the fingerprint.  Full-array SHA-256 pushed
+#: ~1.8 GB through the hash on audikw-class matrices (~10 s of every cached
+#: setup, VERDICT r2 #6); a strided sample plus head/tail blocks catches any
+#: realistic edit to the matrix (changed dims/nnz, permuted or re-valued
+#: entries at sampled positions) at microsecond cost.  The cache is advisory:
+#: a missed difference yields a wrong artifact only if two *different*
+#: matrices agree on dims, nnz, and every sampled coordinate and value.
+_FP_SAMPLE = 65536
+
+
 def matrix_fingerprint(m: MatrixCOO) -> str:
     """Structural+numeric hash of a COO matrix (order-sensitive by design: the
-    pipeline consumes the matrix as given)."""
+    pipeline consumes the matrix as given).  Sampled: dims + nnz + a strided
+    sample of (row, col, val) + head/tail blocks."""
     h = hashlib.sha256()
     h.update(np.int64([m.n_rows, m.n_cols, m.nnz]).tobytes())
-    h.update(np.ascontiguousarray(m.row, dtype=np.int64).tobytes())
-    h.update(np.ascontiguousarray(m.col, dtype=np.int64).tobytes())
-    h.update(np.ascontiguousarray(m.val, dtype=np.float64).tobytes())
+    stride = max(1, m.nnz // _FP_SAMPLE)
+    for a, dt in ((m.row, np.int64), (m.col, np.int64), (m.val, np.float64)):
+        a = np.asarray(a)
+        h.update(np.ascontiguousarray(a[::stride][:_FP_SAMPLE],
+                                      dtype=dt).tobytes())
+        h.update(np.ascontiguousarray(a[-256:], dtype=dt).tobytes())
     return h.hexdigest()[:24]
 
 

@@ -150,6 +150,39 @@ def permuted(m: MatrixCOO, seed: int = 0) -> MatrixCOO:
     return MatrixCOO(m.n_rows, m.n_cols, perm[m.row], perm[m.col], m.val.copy())
 
 
+def load_corpus(name: str, cache_dir: str = None) -> MatrixCOO:
+    """``CORPUS[name]()`` with a disk cache.
+
+    The reference reads its corpus from ``./read/<name>.mtx``
+    (``solver_test.c:284``) — the matrix is ON DISK and parsing it is the only
+    per-run cost.  Our generators are the corpus stand-in, but regenerating an
+    audikw-class FEM matrix costs ~30 s per run (a large slice of the measured
+    setup time, VERDICT r2 #6): cache the generated COO as an ``.npz`` keyed
+    by the corpus name, so repeat runs pay one array load instead.
+    """
+    import os
+
+    d = cache_dir or os.environ.get(
+        "EHYB_CORPUS_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "ehyb", "corpus"))
+    path = os.path.join(d, f"{name}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return MatrixCOO(int(z["n_rows"]), int(z["n_cols"]),
+                         z["row"].astype(np.int64), z["col"].astype(np.int64),
+                         z["val"])
+    m = CORPUS[name]()
+    os.makedirs(d, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}.npz"
+    # int32 indices (every corpus dim < 2^31) halve the file; write-then-
+    # rename keeps concurrent bench subprocesses from reading a torn file.
+    np.savez(tmp, n_rows=m.n_rows, n_cols=m.n_cols,
+             row=m.row.astype(np.int32), col=m.col.astype(np.int32),
+             val=m.val)
+    os.replace(tmp, path)
+    return m
+
+
 #: Named corpus used by tests and the benchmark sweep (the stand-in for the
 #: paper's SuiteSparse appendix list, ``README.md:3``).
 CORPUS = {

@@ -101,12 +101,23 @@ class EhybXlaSpmv(SpmvModel):
 
         self.plan: Plan = make_plan(dim, cfg)
 
+        # The cache is keyed by the config AS GIVEN: the relax auto-switch is
+        # deterministic for (matrix, config), so artifacts converted after a
+        # switch are saved under the pre-switch fingerprint — the one the next
+        # run's load (which happens before any switch) computes (advisor
+        # finding r2: keying by the mutated config made every run a miss).
+        cfg_key = cfg
         if cfg.artifact_cache:
             from ..core.cache import load_artifacts
 
             hit = load_artifacts(m, cfg, cfg.cache_dir)
             if hit is not None:
                 self.ehyb, self.reordering = hit
+                if self.ehyb.step_win_b.size and cfg.body_layout != "sell_rx":
+                    # artifact was converted after the auto-switch: mirror it
+                    # on the config so apply-time logic agrees with the layout
+                    self.config = cfg = dataclasses.replace(
+                        cfg, body_layout="sell_rx")
                 self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
                 self.setup_seconds["cache_load"] = _time.perf_counter() - _t0
                 self._finish_setup()
@@ -156,7 +167,8 @@ class EhybXlaSpmv(SpmvModel):
         if cfg.artifact_cache:
             from ..core.cache import save_artifacts
 
-            save_artifacts(m, cfg, self.ehyb, self.reordering, cfg.cache_dir)
+            save_artifacts(m, cfg_key, self.ehyb, self.reordering,
+                           cfg.cache_dir)
         self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
         self.setup_seconds["total"] = _time.perf_counter() - _t0
         self._finish_setup()
@@ -203,10 +215,14 @@ class EhybSpmv(EhybXlaSpmv):
         if not self._pallas_mode():
             return True  # XLA apply handles rx on CPU
         # The Pallas flagship's only rx kernel is the streamed one: it needs
-        # a VMEM-resident x and the SMEM prefetch budget.  Without them the
-        # rx apply would fall back to the XLA body, whose 2D-index gathers
-        # crash the TPU fusion emitter (verify-skill note) — keep chunk-sync
-        # (resident/windowed kernels) instead.
+        # the streamed path enabled (EHYB_STREAM_BODY=0 turns it off), a
+        # VMEM-resident x, and the SMEM prefetch budget.  Without them the
+        # rx apply would fall back to the XLA body on TPU — kept working by
+        # an optimization barrier around its 2D-index gathers (xla_ops), but
+        # the chunk-sync resident/windowed kernels are faster there.
+        if os.environ.get("EHYB_STREAM_BODY", "") == "0":
+            return False  # advisor finding r2: the gate at apply time must
+            # be mirrored here or auto-relax selects a layout it cannot run
         from ..ops.ehyb_pallas import X_RESIDENT_BYTES, stream_body_fits
 
         resident = (e_rx.padded_x_rows

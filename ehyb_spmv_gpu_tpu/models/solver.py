@@ -109,7 +109,9 @@ class CgSolver:
         seg = checkpoint_every or max_iters
         it_total = it_base
         res2 = jnp.asarray(0.0, acc_dt)
+        ran = False
         while it_total < max_iters:
+            ran = True
             budget = min(seg, max_iters - it_total)
             # budget is a TRACED scalar: one compile serves every segment
             # length and checkpoint cadence (the reference never recompiles
@@ -125,9 +127,12 @@ class CgSolver:
                 os.replace(tmp, checkpoint_path)
             if int(it_seg) < budget:
                 break
-        else:
-            # resume already at/over budget: report the true residual of the
-            # checkpointed x instead of a fabricated zero
+        if not ran:
+            # resume already at/over budget (loop body never entered): report
+            # the true residual of the checkpointed x instead of a fabricated
+            # zero.  When the loop DID run, res2 from the final segment is
+            # already the true residual — recomputing it would pay an extra
+            # matvec for nothing (advisor finding r2).
             _, _, res2 = self._solve_jit(operands, x_dev, b_dev, minv, tol2,
                                          jnp.int32(0), n)
 

@@ -106,6 +106,11 @@ def ehyb_body_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
         idx = e.ell_col.astype(jnp.int32)
         lo = idx & 127
         slot_attr = jnp.take_along_axis(idx, lo, axis=1)
+        # Barrier: keep this 2D lane gather out of downstream fusions — the
+        # TPU fusion emitter CHECK-fails on fused sublane/lane gathers (same
+        # class of crash as the contrib barrier below); reachable on TPU via
+        # --layout sell_rx with a non-VMEM-resident x.
+        slot_attr = jax.lax.optimization_barrier(slot_attr)
         sel = (slot_attr >> 10) & 1
         hi = (slot_attr >> 7) & 7
         base = jnp.where(sel == 1, e.step_win_b[:, None],

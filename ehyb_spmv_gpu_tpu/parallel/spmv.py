@@ -197,6 +197,14 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
     R = round_up(cdiv(dim, n_dev), LANES)
     W = min(window_rows, R)  # halo is one neighbor deep: window ≤ shard span
 
+    # Hub-row splitting is a single-chip mechanism: _shard_body carries no
+    # fold-back maps and truncates y to R rows, so a shard's synthetic
+    # overflow rows would silently drop their partial sums; splitting also
+    # breaks the stream maps' uniform-n_slices assumption.  Disable per shard.
+    if config.row_split_threshold:
+        log.info("sharded path: hub-row splitting disabled per shard")
+        config = dataclasses.replace(config, row_split_threshold=0)
+
     shards = []
     for d in range(n_dev):
         b0, b1 = d * R, min((d + 1) * R, dim)

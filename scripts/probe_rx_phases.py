@@ -28,7 +28,7 @@ def bench_fn(fn, x0, iters=400):
 
 def main():
     mat = sys.argv[1] if len(sys.argv) > 1 else "random_16k"
-    m = generate.CORPUS[mat]()
+    m = generate.load_corpus(mat)
     model = ehyb.EhybSpmv(ehyb.EhybConfig()).setup(m)
     x = ehyb.deterministic_x(m.dimension)
     x_dev = model.prepare_x(x)

@@ -56,7 +56,7 @@ def main():
     from ehyb_spmv_gpu_tpu.ops import ehyb_pallas as ep
 
     matrix = os.environ.get("PROF_MATRIX", "fem3d_32")
-    m = generate.CORPUS[matrix]()
+    m = generate.load_corpus(matrix)
     cfg = EhybConfig()
     model = ehyb.MODELS["ehyb"](cfg).setup(m)
     e = model.ehyb

@@ -214,3 +214,19 @@ def test_sharded_rx_xla_fallback(scrambled):
     assert model.sharded.stats["layout"] == "sell_rx"
     x = deterministic_x(scrambled.dimension)
     assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
+
+
+def test_sharded_row_split_disabled_per_shard():
+    """Regression (advisor r2): sell_rx + row_split_threshold > 0 through the
+    sharded path silently dropped the synthetic overflow rows' partial sums
+    (_shard_body carries no fold-back maps).  build_sharded now forces
+    row_split_threshold=0 per shard; the result must match the oracle."""
+    m = generate.with_dense_rows(
+        generate.random_general(3000, 10, seed=13), 2, density=0.5, seed=14)
+    cfg = EhybConfig(window_rows=1024, body_layout="sell_rx",
+                     row_split_threshold=4)
+    model = ShardedEhybSpmv(cfg, mesh=make_mesh(4)).setup(m)
+    for s in model.sharded.stats["per_dev"]:
+        assert s.get("n_split_rows", 0) == 0
+    x = deterministic_x(m.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(m, x)) < 1e-5
