@@ -214,21 +214,19 @@ class EhybSpmv(EhybXlaSpmv):
     def _rx_supported(self, e_rx) -> bool:
         if not self._pallas_mode():
             return True  # XLA apply handles rx on CPU
-        # The Pallas flagship's only rx kernel is the streamed one: it needs
-        # the streamed path enabled (EHYB_STREAM_BODY=0 turns it off), a
-        # VMEM-resident x, and the SMEM prefetch budget.  Without them the
-        # rx apply would fall back to the XLA body on TPU — kept working by
-        # an optimization barrier around its 2D-index gathers (xla_ops), but
-        # the chunk-sync resident/windowed kernels are faster there.
+        # The Pallas flagship's rx kernels are the streamed ones (resident or
+        # the HBM window-cache variant — residency no longer gates rx): they
+        # need the streamed path enabled (EHYB_STREAM_BODY=0 turns it off)
+        # and the SMEM prefetch budget.  Without them the rx apply would fall
+        # back to the XLA body on TPU — kept working by an optimization
+        # barrier around its 2D-index gathers (xla_ops), but the chunk-sync
+        # resident/windowed kernels are faster there.
         if os.environ.get("EHYB_STREAM_BODY", "") == "0":
             return False  # advisor finding r2: the gate at apply time must
             # be mirrored here or auto-relax selects a layout it cannot run
-        from ..ops.ehyb_pallas import X_RESIDENT_BYTES, stream_body_fits
+        from ..ops.ehyb_pallas import stream_body_fits
 
-        resident = (e_rx.padded_x_rows
-                    * np.dtype(self.config.dtype).itemsize
-                    <= X_RESIDENT_BYTES)
-        return resident and stream_body_fits(e_rx)
+        return stream_body_fits(e_rx, np.dtype(self.config.dtype).itemsize)
 
     def setup(self, m: MatrixCOO) -> "EhybSpmv":
         mode = self._pallas_mode()
@@ -260,7 +258,13 @@ class EhybSpmv(EhybXlaSpmv):
             if sliding is None:
                 x_bytes = (round_up(m.dimension, LANES) + WINDOW_ALIGN) \
                     * np.dtype(self.config.dtype).itemsize
-                sliding = x_bytes <= X_RESIDENT_BYTES
+                # Resident: every streamed/tile kernel takes 128-aligned
+                # windows.  Non-resident: the HBM window-cache body does too
+                # — allow sliding when its packed slot map will fit SMEM
+                # (estimated pre-conversion; ~1.5x nnz/1024 sub-tiles).
+                est_sub_bytes = 4 * int(1.5 * m.nnz / (LANES * 8))
+                sliding = (x_bytes <= X_RESIDENT_BYTES
+                           or est_sub_bytes <= 800 * 1024)
             self.config = dataclasses.replace(
                 self.config, window_rows=WINDOW_ALIGN, body_layout=layout,
                 width_align=SUBTILES * TILE_STEPS, index_dtype=idx_dtype,
@@ -283,12 +287,14 @@ class EhybSpmv(EhybXlaSpmv):
             # were declined after padding, the fallback applies would index
             # unpadded step maps against padded ell arrays and crash at trace
             # time (advisor finding, round 1).
+            # Residency no longer gates streaming: beyond X_RESIDENT_BYTES
+            # the HBM window-cache variant serves the same padded stream
+            # (make_ehyb_pallas_apply picks resident vs hbm by x size).
             streaming = (os.environ.get("EHYB_STREAM_BODY", "") != "0"
                          and self.ehyb.stats.get("nnz_ell", 0) > 0
-                         and self.ehyb.padded_x_rows
-                         * np.dtype(self.config.dtype).itemsize
-                         <= X_RESIDENT_BYTES
-                         and stream_body_fits(self.ehyb))
+                         and stream_body_fits(
+                             self.ehyb,
+                             np.dtype(self.config.dtype).itemsize))
             if streaming:
                 col_p, val_p = pad_stream_arrays(self.ehyb)
                 self.dev = dataclasses.replace(
