@@ -154,6 +154,16 @@ class EhybConfig:
     #: break-even on v5e: a kept group costs ≤8 width-steps (~22 VPU cyc), an
     #: ER element ~14 cyc through the XLA global gather → keep groups of ≥2.
     min_window_group_nnz: int = 2
+    #: Relaxed layout (sell_rx): x windows served per 8-step sub-tile — 2
+    #: (dual, one ``sel`` bit) or 4 (quad, two ``sel`` bits).  More windows
+    #: per sub-tile merge more (slice, window) groups into one step chain:
+    #: the per-group ceil-to-8 padding amortizes over bigger groups AND the
+    #: lane-occupancy bound tightens (entries/lane averages up), at the cost
+    #: of extra sublane gathers + selects per vreg (~+2 cyc for 4).  On
+    #: scattered matrices (random_16k-class) 4 cuts packed steps ~1.5-2x;
+    #: 'auto' (via relax_body) converts both ways and keeps the cheaper by
+    #: the cycle model.
+    windows_per_subtile: int = 2
     #: Multi-window layout: sliding (greedy, 128-row-aligned) x-window starts
     #: instead of fixed 1024-aligned ones.  Only valid with the VMEM-resident
     #: Pallas kernel (the windowed-BlockSpec fallback needs 1024 alignment);

@@ -53,7 +53,7 @@ def matrix_fingerprint(m: MatrixCOO) -> str:
 
 #: Bump on ANY converter/reorderer semantic change — cached artifacts encode
 #: the conversion algorithm, not just its inputs.
-FORMAT_VERSION = 4  # 4: sell_rx + unaligned ER packing
+FORMAT_VERSION = 5  # 5: quad windows + majority/retry round packing
 
 
 def config_fingerprint(cfg: EhybConfig) -> str:
@@ -70,6 +70,7 @@ def config_fingerprint(cfg: EhybConfig) -> str:
         "partitioner": cfg.partitioner, "imbalance": cfg.partition_imbalance,
         "body_layout": cfg.body_layout, "ordering": cfg.ordering,
         "min_window_group_nnz": cfg.min_window_group_nnz,
+        "windows_per_subtile": getattr(cfg, "windows_per_subtile", 2),
         "sliding_windows": bool(cfg.sliding_windows),
         "dia": (cfg.dia_threshold, cfg.max_diagonals),
     }, sort_keys=True)

@@ -99,6 +99,13 @@ class EhybMatrix:
     #: chunk-synchronized layouts (kernel uses ``step_win`` alone).
     step_win_b: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, dtype=np.int32))
+    #: THIRD/FOURTH per-step window starts: with
+    #: ``config.windows_per_subtile = 4`` each sub-tile serves a window QUAD
+    #: and ``sel`` has two bits (10-11).  Empty at the default 2.
+    step_win_c: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int32))
+    step_win_d: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int32))
     #: Hub-row splitting (sell_rx): body row ``split_src[k]`` (a synthetic
     #: overflow row in the slices past the real rows) accumulates surplus
     #: entries of true row ``split_dst[k]``; combine scatter-adds them back
@@ -164,6 +171,8 @@ class EhybMatrix:
             slice_win_start=jnp.asarray(self.slice_win_start),
             step_win=jnp.asarray(self.step_win),
             step_win_b=jnp.asarray(self.step_win_b),
+            step_win_c=jnp.asarray(self.step_win_c),
+            step_win_d=jnp.asarray(self.step_win_d),
             split_src=jnp.asarray(self.split_src),
             split_dst=jnp.asarray(self.split_dst),
             er_col=jnp.asarray(self.er_col),
@@ -192,6 +201,7 @@ class EhybMatrix:
             ell_col=self.ell_col, ell_val=self.ell_val,
             slice_offset=self.slice_offset, slice_win_start=self.slice_win_start,
             step_win=self.step_win, step_win_b=self.step_win_b,
+            step_win_c=self.step_win_c, step_win_d=self.step_win_d,
             split_src=self.split_src, split_dst=self.split_dst,
             er_col=self.er_col, er_val=self.er_val,
             er_slice_offset=self.er_slice_offset, er_rows=self.er_rows,
@@ -210,6 +220,9 @@ class EhybMatrix:
             extra = dict(dia_offsets=z["dia_offsets"], dia_val=z["dia_val"])
         if "step_win_b" in z:
             extra["step_win_b"] = z["step_win_b"]
+        if "step_win_c" in z:
+            extra["step_win_c"] = z["step_win_c"]
+            extra["step_win_d"] = z["step_win_d"]
         if "split_src" in z:
             extra["split_src"] = z["split_src"]
             extra["split_dst"] = z["split_dst"]
@@ -245,6 +258,9 @@ class EhybDevice:
     step_win: Any
     #: Second per-step window start (relaxed lo-slot layout; empty otherwise).
     step_win_b: Any
+    #: Third/fourth per-step window starts (windows_per_subtile=4 quads).
+    step_win_c: Any
+    step_win_d: Any
     #: Hub-row splitting maps (sell_rx; empty otherwise).
     split_src: Any
     split_dst: Any
@@ -268,7 +284,8 @@ class EhybDevice:
     rx_body: bool = False
 
     _ARRAY_FIELDS = ("ell_col", "ell_val", "slice_offset", "slice_win_start",
-                     "step_win", "step_win_b", "split_src", "split_dst",
+                     "step_win", "step_win_b", "step_win_c", "step_win_d",
+                     "split_src", "split_dst",
                      "er_col", "er_val", "er_slice_offset", "er_rows",
                      "long_col", "long_val", "long_seg", "long_rows",
                      "dia_val")

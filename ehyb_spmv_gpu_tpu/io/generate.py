@@ -201,4 +201,13 @@ CORPUS = {
     # 1M-row scrambled stencil: the relaxed body in the HBM-streaming
     # regime (the ell stream exceeds the VMEM prestage limit)
     "permuted_poisson_1024": lambda: permuted(poisson2d(1024), seed=9),
+    # 16.7M-row scrambled stencil (x = 64 MB > the VMEM residency budget):
+    # the HBM window-cache body is the only fast path — the regime where the
+    # reference kernel streams from global memory at any size
+    # (kernel.cu:110-195; VERDICT r2 missing #1)
+    "permuted_poisson_4096": lambda: permuted(poisson2d(4096), seed=13),
+    # 1M rows x ~16 random nnz/row, no recoverable structure: the
+    # ER-exposure stress (VERDICT r2 missing #2) — how much does the relaxed
+    # body absorb when there is nothing for the reorderer to find?
+    "random_1m": lambda: random_general(1 << 20, 16, seed=17),
 }

@@ -54,12 +54,18 @@ VMEM_PRESTAGE_LIMIT = int(os.environ.get(
 
 #: Measured full-apply cost per (8,128) body vreg on v5e (const mode,
 #: permuted_poisson_512, fixed overheads included): chunk-sync two-stage
-#: gather vs relaxed dual-window (one extra sublane gather + select).
+#: gather vs relaxed dual-window (one extra sublane gather + select) vs
+#: relaxed quad-window (three extra sublane gathers + selects).
 #: Used to arbitrate the relax_body='auto' switch.
 _CYC_MW_VREG = 17.8
 _CYC_RX_VREG = 19.9
+_CYC_RX4_VREG = 22.5
 #: Chunk-sync padding fraction above which the relaxed conversion is tried.
 _RELAX_WASTE_GATE = 0.25
+#: Relaxed-body padding fraction above which the quad-window (4 windows per
+#: sub-tile) conversion is tried: quads help when lane fill is low (group
+#: merging raises entries/lane and amortizes the ceil-to-8 padding).
+_QUAD_WASTE_GATE = 0.35
 
 
 class EhybXlaSpmv(SpmvModel):
@@ -118,6 +124,10 @@ class EhybXlaSpmv(SpmvModel):
                     # on the config so apply-time logic agrees with the layout
                     self.config = cfg = dataclasses.replace(
                         cfg, body_layout="sell_rx")
+                if self.ehyb.step_win_c.size \
+                        and getattr(cfg, "windows_per_subtile", 2) != 4:
+                    self.config = cfg = dataclasses.replace(
+                        cfg, windows_per_subtile=4)
                 self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
                 self.setup_seconds["cache_load"] = _time.perf_counter() - _t0
                 self._finish_setup()
@@ -163,6 +173,24 @@ class EhybXlaSpmv(SpmvModel):
                              st["ell_steps"], e_rx.stats["ell_steps"])
                     self.ehyb = e_rx
                     self.config = cfg = cfg_rx
+        if (cfg.body_layout == "sell_rx" and cfg.relax_body == "auto"
+                and getattr(cfg, "windows_per_subtile", 2) == 2):
+            # Quad-window upgrade: when the dual-window body still pads
+            # heavily (low lane fill), merging 4 windows per sub-tile
+            # tightens the lane bound and amortizes the ceil-to-8 padding
+            # (measured -28% steps on random_16k) at ~+13% per-vreg cost.
+            st = self.ehyb.stats
+            cells = st["nnz_ell"] + st["waste_ell"]
+            if st["nnz_ell"] > 0 and st["waste_ell"] > _QUAD_WASTE_GATE * cells:
+                cfg4 = dataclasses.replace(cfg, windows_per_subtile=4)
+                e4 = coo_to_ehyb(m_r, self.reordering, self.plan, cfg4)
+                if (e4.stats["ell_steps"] * _CYC_RX4_VREG
+                        < st["ell_steps"] * _CYC_RX_VREG
+                        and self._rx_supported(e4)):
+                    log.info("quad windows win: %d → %d ell steps",
+                             st["ell_steps"], e4.stats["ell_steps"])
+                    self.ehyb = e4
+                    self.config = cfg = cfg4
         self.setup_seconds["convert"] = _time.perf_counter() - _t1
         if cfg.artifact_cache:
             from ..core.cache import save_artifacts

@@ -139,157 +139,104 @@ def _two_sum(a, b):
     return s, e
 
 
-def _sell_body_kernel_stream(win_row_ref, reset_ref, col_ref, val_ref, x_ref,
-                             y_ref, acc_ref):
-    """Streamed body: one grid step = STREAM_SUBTILES sub-tiles anywhere in
-    the concatenated step stream (tiles may span slices).  Each sub-tile's
-    lane partial accumulates into a scratch that RESETS at slice starts
-    (``reset_ref``, scalar-prefetched), and the running sum is emitted per
-    sub-tile — the row written by a slice's LAST sub-tile is the finished
-    slice sum, which the caller row-gathers (replaces an XLA segment_sum
-    measured at 16-30 us/iter, a third of the body cost).  The scratch
-    carries across grid steps (the TPU grid is sequential), so slices may
-    span grid-step boundaries.  No output revisits, no per-slice alignment.
+def _make_stream_resident_kernel(nwin: int, kahan: bool):
+    """Factory for the VMEM-resident streamed body kernels.
+
+    One grid step = STREAM_SUBTILES sub-tiles anywhere in the concatenated
+    step stream (tiles may span slices).  Each sub-tile's lane partial
+    accumulates into a scratch that RESETS at slice starts (``reset_ref``,
+    scalar-prefetched), and the running sum is emitted per sub-tile — the row
+    written by a slice's LAST sub-tile is the finished slice sum, which the
+    caller row-gathers (replaces an XLA segment_sum measured at 16-30 us/iter,
+    a third of the body cost).  The scratch carries across grid steps (the
+    TPU grid is sequential), so slices may span grid-step boundaries.
+
+    ``nwin`` = x windows per sub-tile: 1 for the chunk-sync layouts (plain
+    window-local columns), 2/4 for the relaxed lo-slot layouts, where
+    ``ell_col`` packs ``(sel << 10) | (hi << 7) | lo`` and the sublane gather
+    resolves each slot's chunk from every window with a select chain on
+    ``sel``.  The dynamic_gather feasibility needs only per-slot chunk
+    consistency — verified on hardware (scripts/probe_wide_gather.py).
+
+    ``kahan`` = Neumaier two-sum over the 8 step rows of each sub-tile AND
+    the cross-sub-tile running accumulator, compensation in a second scratch
+    row: the f32 summation-order error of arbitrarily long slice chains
+    collapses to ~1 ulp (the reference's f64 precision contract, spmv.h:46,
+    realized the TPU way — the VPU has no f64).
+
+    Kernel signature: ``(win_ref_0..win_ref_{nwin-1}, reset_ref, col_ref,
+    val_ref, x_ref, y_ref, acc_ref)``.
     """
-    t = pl.program_id(0)
 
-    @pl.when(t == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    def kernel(*refs):
+        win_refs = refs[:nwin]
+        reset_ref, col_ref, val_ref, x_ref, y_ref, acc_ref = refs[nwin:]
+        t = pl.program_id(0)
 
-    for i in range(STREAM_SUBTILES):
-        win = x_ref[pl.ds(win_row_ref[t * STREAM_SUBTILES + i], WIN_ROWS), :]
-        col = col_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :].astype(jnp.int32)
-        hi = jax.lax.shift_right_logical(col, 7)
-        lo = jax.lax.bitwise_and(col, 127)
-        rows = jnp.take_along_axis(win, hi, axis=0)
-        g = jnp.take_along_axis(rows, lo, axis=1)
-        part = val_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :] * g
-        keep = (reset_ref[t * STREAM_SUBTILES + i] == 0).astype(part.dtype)
-        acc = jnp.sum(part, axis=0) + acc_ref[0] * keep
-        acc_ref[0] = acc
-        y_ref[0, i, :] = acc
+        @pl.when(t == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
+        for i in range(STREAM_SUBTILES):
+            k = t * STREAM_SUBTILES + i
+            wins = [x_ref[pl.ds(wr[k], WIN_ROWS), :] for wr in win_refs]
+            idx = col_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :] \
+                .astype(jnp.int32)
+            lo = jax.lax.bitwise_and(idx, 127)
+            if nwin == 1:
+                hi = jax.lax.shift_right_logical(idx, 7)
+                rows = jnp.take_along_axis(wins[0], hi, axis=0)
+            else:
+                hi = jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(idx, 7), 7)
+                sel = jax.lax.shift_right_logical(idx, 10)
+                rows = jnp.take_along_axis(wins[0], hi, axis=0)
+                for j in range(1, nwin):
+                    rows = jnp.where(sel == j,
+                                     jnp.take_along_axis(wins[j], hi, axis=0),
+                                     rows)
+            g = jnp.take_along_axis(rows, lo, axis=1)
+            part = val_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :] * g
+            keep = (reset_ref[k] == 0).astype(part.dtype)
+            if kahan:
+                s, c = part[0], jnp.zeros_like(part[0])
+                for r in range(1, TILE_STEPS):
+                    s, e = _two_sum(s, part[r])
+                    c = c + e
+                acc, comp = acc_ref[0] * keep, acc_ref[1] * keep
+                acc, e = _two_sum(acc, s)
+                comp = comp + c + e
+                acc_ref[0] = acc
+                acc_ref[1] = comp
+                y_ref[0, i, :] = acc + comp
+            else:
+                acc = jnp.sum(part, axis=0) + acc_ref[0] * keep
+                acc_ref[0] = acc
+                y_ref[0, i, :] = acc
 
-def _sell_body_kernel_stream_kahan(win_row_ref, reset_ref, col_ref, val_ref,
-                                   x_ref, y_ref, acc_ref):
-    """Compensated variant of the streamed body (config.compensated_sum):
-    Neumaier two-sum over the 8 step rows of each sub-tile AND over the
-    cross-sub-tile running accumulator, with the compensation carried in a
-    second scratch row.  The f32 summation-order error of arbitrarily long
-    slice chains collapses to ~1 ulp of the true sum (the reference's f64
-    precision contract, spmv.h:46, realized the TPU way — f64 VPU arithmetic
-    does not exist on this hardware)."""
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    for i in range(STREAM_SUBTILES):
-        win = x_ref[pl.ds(win_row_ref[t * STREAM_SUBTILES + i], WIN_ROWS), :]
-        col = col_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :].astype(jnp.int32)
-        hi = jax.lax.shift_right_logical(col, 7)
-        lo = jax.lax.bitwise_and(col, 127)
-        rows = jnp.take_along_axis(win, hi, axis=0)
-        g = jnp.take_along_axis(rows, lo, axis=1)
-        part = val_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :] * g
-        keep = (reset_ref[t * STREAM_SUBTILES + i] == 0).astype(part.dtype)
-        s, c = part[0], jnp.zeros_like(part[0])
-        for r in range(1, TILE_STEPS):
-            s, e = _two_sum(s, part[r])
-            c = c + e
-        acc, comp = acc_ref[0] * keep, acc_ref[1] * keep
-        acc, e = _two_sum(acc, s)
-        comp = comp + c + e
-        acc_ref[0] = acc
-        acc_ref[1] = comp
-        y_ref[0, i, :] = acc + comp
+    return kernel
 
 
-def _sell_body_kernel_stream_rx(win_a_ref, win_b_ref, reset_ref, col_ref,
-                                val_ref, x_ref, y_ref, acc_ref):
-    """Streamed body for the relaxed lo-slot layout (``sell_rx``).
-
-    Same structure as :func:`_sell_body_kernel_stream`, but each sub-tile
-    carries TWO 1024-row x windows and ``ell_col`` packs
-    ``(sel << 10) | (hi << 7) | lo``: the sublane gather resolves the per-slot
-    chunk from window A and B, a select picks between them, and the lane
-    gather by ``lo`` routes each column's element to its entry's lane.  The
-    dynamic_gather feasibility needs only per-slot chunk consistency —
-    verified on hardware (scripts/probe_wide_gather.py) — which is what lets
-    the packer place mixed-chunk entries in one step (5-10x less padding on
-    scattered matrices than chunk-sync).
-    """
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    for i in range(STREAM_SUBTILES):
-        wa = x_ref[pl.ds(win_a_ref[t * STREAM_SUBTILES + i], WIN_ROWS), :]
-        wb = x_ref[pl.ds(win_b_ref[t * STREAM_SUBTILES + i], WIN_ROWS), :]
-        idx = col_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :].astype(jnp.int32)
-        hi = jax.lax.bitwise_and(jax.lax.shift_right_logical(idx, 7), 7)
-        sel = jax.lax.shift_right_logical(idx, 10)
-        lo = jax.lax.bitwise_and(idx, 127)
-        ra = jnp.take_along_axis(wa, hi, axis=0)
-        rb = jnp.take_along_axis(wb, hi, axis=0)
-        rows = jnp.where(sel == 1, rb, ra)
-        g = jnp.take_along_axis(rows, lo, axis=1)
-        part = val_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :] * g
-        keep = (reset_ref[t * STREAM_SUBTILES + i] == 0).astype(part.dtype)
-        acc = jnp.sum(part, axis=0) + acc_ref[0] * keep
-        acc_ref[0] = acc
-        y_ref[0, i, :] = acc
-
-
-def _sell_body_kernel_stream_rx_kahan(win_a_ref, win_b_ref, reset_ref,
-                                      col_ref, val_ref, x_ref, y_ref,
-                                      acc_ref):
-    """Compensated dual-window (rx) streamed body — see the chunk-sync
-    Kahan variant for the numerics and the rx variant for the gather."""
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    for i in range(STREAM_SUBTILES):
-        wa = x_ref[pl.ds(win_a_ref[t * STREAM_SUBTILES + i], WIN_ROWS), :]
-        wb = x_ref[pl.ds(win_b_ref[t * STREAM_SUBTILES + i], WIN_ROWS), :]
-        idx = col_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :].astype(jnp.int32)
-        hi = jax.lax.bitwise_and(jax.lax.shift_right_logical(idx, 7), 7)
-        sel = jax.lax.shift_right_logical(idx, 10)
-        lo = jax.lax.bitwise_and(idx, 127)
-        ra = jnp.take_along_axis(wa, hi, axis=0)
-        rb = jnp.take_along_axis(wb, hi, axis=0)
-        rows = jnp.where(sel == 1, rb, ra)
-        g = jnp.take_along_axis(rows, lo, axis=1)
-        part = val_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :] * g
-        keep = (reset_ref[t * STREAM_SUBTILES + i] == 0).astype(part.dtype)
-        s, c = part[0], jnp.zeros_like(part[0])
-        for r in range(1, TILE_STEPS):
-            s, e = _two_sum(s, part[r])
-            c = c + e
-        acc, comp = acc_ref[0] * keep, acc_ref[1] * keep
-        acc, e = _two_sum(acc, s)
-        comp = comp + c + e
-        acc_ref[0] = acc
-        acc_ref[1] = comp
-        y_ref[0, i, :] = acc + comp
+#: Named instances (the sharded path and probes import these directly).
+_sell_body_kernel_stream = _make_stream_resident_kernel(1, False)
+_sell_body_kernel_stream_kahan = _make_stream_resident_kernel(1, True)
+_sell_body_kernel_stream_rx = _make_stream_resident_kernel(2, False)
+_sell_body_kernel_stream_rx_kahan = _make_stream_resident_kernel(2, True)
+_sell_body_kernel_stream_rx4 = _make_stream_resident_kernel(4, False)
+_sell_body_kernel_stream_rx4_kahan = _make_stream_resident_kernel(4, True)
 
 
 #: Software-managed x-window cache slots for the HBM-streamed body (below).
-#: 192 slots x (8,128) f32 = 768 KB of VMEM — large enough that two
-#: consecutive grid steps' window sets (<= 2*STREAM_SUBTILES each) always fit
-#: with eviction headroom, small next to the 2x192 KB col/val double buffers.
-NSLOT = 192
+#: 320 slots x (8,128) f32 = 1.25 MB of VMEM — large enough that two
+#: consecutive grid steps' window sets (<= 4*STREAM_SUBTILES each for quad
+#: sub-tiles) always fit with eviction headroom, small next to the 2x192 KB
+#: col/val double buffers.
+NSLOT = 320
 _SLOT_BITS = 9  # slot ids in the packed per-sub-tile word (caps NSLOT at 512)
 
 
-def _make_stream_hbm_kernel(kahan: bool, kmax0: int, kmax: int):
+def _make_stream_hbm_kernel(kahan: bool, kmax0: int, kmax: int,
+                            nwin: int = 2):
     """Kernel factory for the HBM-streamed body: x stays in HBM (``pl.ANY``)
     and each sub-tile's two 1024-element windows are served from a
     software-managed VMEM cache (``cache_ref``) fed by async DMA.
@@ -306,12 +253,21 @@ def _make_stream_hbm_kernel(kahan: bool, kmax0: int, kmax: int):
     ``packed_ref`` carries per sub-tile ``slot_a | slot_b << 9 | reset << 18``
     (the rx dual-window select + the reset-cumulative slice accumulator of
     the resident streamed kernels); chunk-sync layouts pass slot_b == slot_a
-    and plain window-local columns (their ``sel`` bits are zero).
+    and plain window-local columns (their ``sel`` bits are zero).  With
+    ``nwin = 4`` (quad sub-tiles) a second packed word carries
+    ``slot_c | slot_d << 9``.
     """
 
-    def kernel(packed_ref, load_off_ref, load_cnt_ref, load_src_ref,
-               load_dst_ref, col_ref, val_ref, x_hbm_ref, y_ref,
-               cache_ref, acc_ref, sems, sem0):
+    def kernel(*refs):
+        if nwin > 2:
+            (packed_ref, packed2_ref, load_off_ref, load_cnt_ref,
+             load_src_ref, load_dst_ref, col_ref, val_ref, x_hbm_ref, y_ref,
+             cache_ref, acc_ref, sems, sem0) = refs
+        else:
+            (packed_ref, load_off_ref, load_cnt_ref, load_src_ref,
+             load_dst_ref, col_ref, val_ref, x_hbm_ref, y_ref,
+             cache_ref, acc_ref, sems, sem0) = refs
+            packed2_ref = None
         t = pl.program_id(0)
         nt = pl.num_programs(0)
 
@@ -351,21 +307,28 @@ def _make_stream_hbm_kernel(kahan: bool, kmax0: int, kmax: int):
                         copy(load_src_ref[off + j], load_dst_ref[off + j],
                              sems.at[(t + 1) % 2, j]).start()
 
+        smask = (1 << _SLOT_BITS) - 1
         for i in range(STREAM_SUBTILES):
             v = packed_ref[t * STREAM_SUBTILES + i]
-            wa = cache_ref[jax.lax.bitwise_and(v, (1 << _SLOT_BITS) - 1)]
-            wb = cache_ref[jax.lax.bitwise_and(
-                jax.lax.shift_right_logical(v, _SLOT_BITS),
-                (1 << _SLOT_BITS) - 1)]
+            wins = [cache_ref[jax.lax.bitwise_and(v, smask)],
+                    cache_ref[jax.lax.bitwise_and(
+                        jax.lax.shift_right_logical(v, _SLOT_BITS), smask)]]
             rs = jax.lax.shift_right_logical(v, 2 * _SLOT_BITS)
+            if nwin > 2:
+                v2 = packed2_ref[t * STREAM_SUBTILES + i]
+                wins.append(cache_ref[jax.lax.bitwise_and(v2, smask)])
+                wins.append(cache_ref[jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(v2, _SLOT_BITS), smask)])
             idx = col_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :] \
                 .astype(jnp.int32)
             hi = jax.lax.bitwise_and(jax.lax.shift_right_logical(idx, 7), 7)
             sel = jax.lax.shift_right_logical(idx, 10)
             lo = jax.lax.bitwise_and(idx, 127)
-            ra = jnp.take_along_axis(wa, hi, axis=0)
-            rb = jnp.take_along_axis(wb, hi, axis=0)
-            rows = jnp.where(sel == 1, rb, ra)
+            rows = jnp.take_along_axis(wins[0], hi, axis=0)
+            for j in range(1, nwin):
+                rows = jnp.where(sel == j,
+                                 jnp.take_along_axis(wins[j], hi, axis=0),
+                                 rows)
             g = jnp.take_along_axis(rows, lo, axis=1)
             part = val_ref[i * TILE_STEPS:(i + 1) * TILE_STEPS, :] * g
             keep = (rs == 0).astype(part.dtype)
@@ -388,7 +351,7 @@ def _make_stream_hbm_kernel(kahan: bool, kmax0: int, kmax: int):
     return kernel
 
 
-def build_hbm_cache_plan(sub_win, sub_win_b, reset, n_tiles: int):
+def build_hbm_cache_plan(sub_wins, reset, n_tiles: int):
     """Host-side schedule for the HBM-streamed body's x-window cache.
 
     Simulates an ``NSLOT``-slot LRU cache over the per-grid-step window sets
@@ -397,27 +360,33 @@ def build_hbm_cache_plan(sub_win, sub_win_b, reset, n_tiles: int):
     horizon 1).  The evicted slot is the least-recently-used window that is
     in neither step t's nor step t-1's working set, so an in-flight load can
     never clobber a window the overlapped compute still reads.  Feasible
-    whenever ``NSLOT >= 4 * STREAM_SUBTILES`` (two full consecutive working
-    sets); the converter's window pairing keeps real working sets far
-    smaller.
+    whenever ``NSLOT`` covers two full consecutive working sets (at most
+    ``2 * nwin * STREAM_SUBTILES`` windows); the converter's window
+    grouping keeps real working sets far smaller.
 
-    Returns ``(packed, load_off, load_cnt, load_src, load_dst, kmax0, kmax,
-    n_loads)`` — ``packed[i] = slot_a | slot_b << 9 | reset << 18`` per
-    sub-tile; loads flattened wait-step-major.
+    ``sub_wins`` is the per-sub-tile window-row map list from
+    :func:`build_stream_maps` (1, 2 or 4 maps).  Returns ``(packed_words,
+    load_off, load_cnt, load_src, load_dst, kmax0, kmax, n_loads)`` —
+    ``packed_words`` is a list of per-sub-tile int32 words: word 0 packs
+    ``slot_0 | slot_1 << 9 | reset << 18``, word 1 (quad only) packs
+    ``slot_2 | slot_3 << 9``.  Loads are flattened wait-step-major.
     """
     from collections import OrderedDict
 
     S = STREAM_SUBTILES
-    wa = np.asarray(sub_win, dtype=np.int64)
-    wb = wa if sub_win_b is None else np.asarray(sub_win_b, dtype=np.int64)
+    nwin = len(sub_wins)
+    ws = [np.asarray(a, dtype=np.int64) for a in sub_wins]
+    if nwin == 1:
+        ws = ws * 2  # slot_b mirrors slot_a for chunk-sync layouts
+    if 2 * nwin * S > NSLOT:
+        raise RuntimeError("NSLOT cannot cover two working sets")
     cache: "OrderedDict[int, int]" = OrderedDict()  # win -> slot, LRU first
     free = list(range(NSLOT - 1, -1, -1))
     loads = [[] for _ in range(n_tiles)]
-    slot_a = np.zeros(n_tiles * S, dtype=np.int32)
-    slot_b = np.zeros(n_tiles * S, dtype=np.int32)
+    slots = [np.zeros(n_tiles * S, dtype=np.int32) for _ in ws]
     prev_need: set = set()
     for t in range(n_tiles):
-        seg = np.concatenate([wa[t * S:(t + 1) * S], wb[t * S:(t + 1) * S]])
+        seg = np.concatenate([a[t * S:(t + 1) * S] for a in ws])
         need: set = set()
         order = []
         for w in seg.tolist():
@@ -434,15 +403,15 @@ def build_hbm_cache_plan(sub_win, sub_win_b, reset, n_tiles: int):
                 victim = next((cw for cw in cache
                                if cw not in need and cw not in prev_need),
                               None)
-                if victim is None:  # can't happen with NSLOT >= 4*S
+                if victim is None:  # can't happen per the NSLOT check above
                     raise RuntimeError("hbm window cache thrash")
                 s = cache.pop(victim)
             cache[w] = s
             cache.move_to_end(w)
             loads[t].append((w, s))
-        for i in range(S):
-            slot_a[t * S + i] = cache[int(wa[t * S + i])]
-            slot_b[t * S + i] = cache[int(wb[t * S + i])]
+        for j, a in enumerate(ws):
+            for i in range(S):
+                slots[j][t * S + i] = cache[int(a[t * S + i])]
         prev_need = need
     cnt = np.array([len(l) for l in loads], dtype=np.int32)
     off = np.zeros(n_tiles, dtype=np.int32)
@@ -452,8 +421,10 @@ def build_hbm_cache_plan(sub_win, sub_win_b, reset, n_tiles: int):
     dst = np.array([s for _, s in flat], dtype=np.int32)
     kmax0 = int(cnt[0])
     kmax = int(cnt[1:].max()) if n_tiles > 1 else 0
-    packed = (slot_a | (slot_b << _SLOT_BITS)
-              | (np.asarray(reset, dtype=np.int32) << (2 * _SLOT_BITS)))
+    packed = [slots[0] | (slots[1] << _SLOT_BITS)
+              | (np.asarray(reset, dtype=np.int32) << (2 * _SLOT_BITS))]
+    if nwin > 2:
+        packed.append(slots[2] | (slots[3] << _SLOT_BITS))
     return packed, off, cnt, src, dst, kmax0, kmax, int(cnt.sum())
 
 
@@ -462,31 +433,31 @@ def build_stream_maps(e: EhybMatrix):
     sub-tile → slice segment ids (padding sub-tiles map to the dump slice
     ``n_slices``).  Steps are padded to a whole number of stream tiles.
 
-    Returns (sub_win, sub_win_b, sub_slice, reset, last_sub, n_tiles);
-    ``sub_win_b`` is None for the chunk-sync layouts and the second window-row
-    map for ``sell_rx``; ``reset`` flags each slice's first sub-tile (for the
-    in-kernel cumulative accumulator); ``last_sub[s]`` is the sub-tile whose
-    emitted running sum is slice s's finished total.
+    Returns (sub_wins, sub_slice, reset, last_sub, n_tiles); ``sub_wins`` is
+    a LIST of per-sub-tile window-row maps — one entry for the chunk-sync
+    layouts, two for dual-window ``sell_rx``, four for quad
+    (windows_per_subtile=4); ``reset`` flags each slice's first sub-tile
+    (for the in-kernel cumulative accumulator); ``last_sub[s]`` is the
+    sub-tile whose emitted running sum is slice s's finished total.
     """
     widths = np.diff(e.slice_offset.astype(np.int64))
     if not np.all(widths % TILE_STEPS == 0):
         raise ValueError("slice widths must be multiples of 8")
-    step_win = e.step_win.astype(np.int64)
-    sw = step_win.reshape(-1, TILE_STEPS)
-    if not np.all(sw == sw[:, :1]):
-        raise ValueError("window must be constant within each 8-step sub-tile")
-    n_sub = sw.shape[0]
+    n_sub = e.step_win.shape[0] // TILE_STEPS
     spt = STREAM_SUBTILES
     n_tiles = max(1, -(-n_sub // spt))
-    sub_win = np.zeros(n_tiles * spt, dtype=np.int32)
-    sub_win[:n_sub] = (sw[:, 0] // LANES).astype(np.int32)
-    sub_win_b = None
-    if e.step_win_b.size:
-        swb = e.step_win_b.astype(np.int64).reshape(-1, TILE_STEPS)
-        if not np.all(swb == swb[:, :1]):
-            raise ValueError("window B must be constant per 8-step sub-tile")
-        sub_win_b = np.zeros(n_tiles * spt, dtype=np.int32)
-        sub_win_b[:n_sub] = (swb[:, 0] // LANES).astype(np.int32)
+    sub_wins = []
+    win_arrays = [e.step_win, e.step_win_b, e.step_win_c, e.step_win_d]
+    for a in win_arrays:
+        if a is None or not a.size:
+            break
+        sw = a.astype(np.int64).reshape(-1, TILE_STEPS)
+        if not np.all(sw == sw[:, :1]):
+            raise ValueError(
+                "window must be constant within each 8-step sub-tile")
+        m = np.zeros(n_tiles * spt, dtype=np.int32)
+        m[:n_sub] = (sw[:, 0] // LANES).astype(np.int32)
+        sub_wins.append(m)
     sub_slice = np.full(n_tiles * spt, e.n_slices, dtype=np.int32)  # dump
     step_slice = np.repeat(np.arange(e.n_slices, dtype=np.int32),
                            widths // TILE_STEPS)
@@ -496,7 +467,7 @@ def build_stream_maps(e: EhybMatrix):
     reset[1:] = sub_slice[1:] != sub_slice[:-1]
     last_sub = np.searchsorted(sub_slice, np.arange(e.n_slices),
                                side="right").astype(np.int32) - 1
-    return sub_win, sub_win_b, sub_slice, reset, last_sub, n_tiles
+    return sub_wins, sub_slice, reset, last_sub, n_tiles
 
 
 def build_tile_maps(e: EhybMatrix, steps_per_tile: int):
@@ -561,12 +532,12 @@ def stream_body_fits(e: EhybMatrix, value_bytes: int = 4) -> bool:
     if e.padded_x_rows * value_bytes <= X_RESIDENT_BYTES:
         return n_sub * 12 <= _SMEM_PREFETCH_BUDGET  # up to 3 int32 maps/sub
     try:
-        sub_win, sub_win_b, _, reset, _, n_tiles = build_stream_maps(e)
-        _, off, cnt, src, dst, _, _, _ = build_hbm_cache_plan(
-            sub_win, sub_win_b, reset, n_tiles)
+        sub_wins, _, reset, _, n_tiles = build_stream_maps(e)
+        packed, off, cnt, src, dst, _, _, _ = build_hbm_cache_plan(
+            sub_wins, reset, n_tiles)
     except (ValueError, RuntimeError):
         return False
-    smem = (n_tiles * STREAM_SUBTILES * 4 + off.nbytes + cnt.nbytes
+    smem = (sum(p.nbytes for p in packed) + off.nbytes + cnt.nbytes
             + src.nbytes + dst.nbytes)
     return smem <= _SMEM_PREFETCH_BUDGET
 
@@ -615,25 +586,18 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
         return apply_nobody
 
     if streaming and resident:
-        (sub_win, sub_win_b, sub_slice, reset, last_sub,
+        (sub_wins, sub_slice, reset, last_sub,
          n_tiles) = build_stream_maps(e)
-        if sub_win.shape[0] * 12 <= _SMEM_PREFETCH_BUDGET:
+        nwin = len(sub_wins)
+        if sub_wins[0].shape[0] * 4 * (nwin + 1) <= _SMEM_PREFETCH_BUDGET:
             spt = STREAM_SUBTILES * TILE_STEPS
-            rx = sub_win_b is not None
+            rx = nwin > 1
             kahan = bool(getattr(config, "compensated_sum", False))
-            if rx:
-                aux = (jnp.asarray(sub_win), jnp.asarray(sub_win_b),
-                       jnp.asarray(reset))
-                idx_map = lambda t, wa, wb, rs: (t, 0)  # noqa: E731
-                out_map = lambda t, wa, wb, rs: (t, 0, 0)  # noqa: E731
-                kernel_fn = _sell_body_kernel_stream_rx_kahan if kahan \
-                    else _sell_body_kernel_stream_rx
-            else:
-                aux = (jnp.asarray(sub_win), jnp.asarray(reset))
-                idx_map = lambda t, wr, rs: (t, 0)  # noqa: E731
-                out_map = lambda t, wr, rs: (t, 0, 0)  # noqa: E731
-                kernel_fn = _sell_body_kernel_stream_kahan if kahan \
-                    else _sell_body_kernel_stream
+            aux = tuple(jnp.asarray(a) for a in sub_wins) \
+                + (jnp.asarray(reset),)
+            idx_map = lambda t, *_: (t, 0)  # noqa: E731
+            out_map = lambda t, *_: (t, 0, 0)  # noqa: E731
+            kernel_fn = _make_stream_resident_kernel(nwin, kahan)
             last_sub_dev = jnp.asarray(last_sub)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=len(aux),
@@ -679,11 +643,12 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                                     dia_phase(dev, x_pad))
 
             log.info("pallas SELL body [streamed v3%s]: %d tiles of %d steps, "
-                     "%d slices", " rx" if rx else "", n_tiles, spt, n_slices)
+                     "%d slices",
+                     f" rx{nwin}" if rx else "", n_tiles, spt, n_slices)
             return apply_stream
         log.warning("streamed body wanted but %d sub-tiles exceed the SMEM "
                     "prefetch budget; using the per-slice tile path",
-                    sub_win.shape[0])
+                    sub_wins[0].shape[0])
 
     if streaming and not resident:
         # HBM-streamed body: x larger than the VMEM-residency budget stays in
@@ -691,18 +656,19 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
         # regime where the reference kernel streams from global memory at
         # full speed (kernel.cu:110-195); closes the 64 MB cliff (VERDICT r2
         # missing #1).  Serves both the relaxed (rx) and chunk-sync layouts.
-        (sub_win, sub_win_b, sub_slice, reset, last_sub,
+        (sub_wins, sub_slice, reset, last_sub,
          n_tiles) = build_stream_maps(e)
+        nwin = len(sub_wins)
         (packed, load_off, load_cnt, load_src, load_dst, kmax0, kmax,
-         n_loads) = build_hbm_cache_plan(sub_win, sub_win_b, reset, n_tiles)
-        smem_bytes = packed.nbytes + load_off.nbytes + load_cnt.nbytes \
-            + load_src.nbytes + load_dst.nbytes
+         n_loads) = build_hbm_cache_plan(sub_wins, reset, n_tiles)
+        smem_bytes = sum(p.nbytes for p in packed) + load_off.nbytes \
+            + load_cnt.nbytes + load_src.nbytes + load_dst.nbytes
         if smem_bytes <= _SMEM_PREFETCH_BUDGET:
             spt = STREAM_SUBTILES * TILE_STEPS
             kahan = bool(getattr(config, "compensated_sum", False))
-            aux = (jnp.asarray(packed), jnp.asarray(load_off),
-                   jnp.asarray(load_cnt), jnp.asarray(load_src),
-                   jnp.asarray(load_dst))
+            aux = tuple(jnp.asarray(p) for p in packed) \
+                + (jnp.asarray(load_off), jnp.asarray(load_cnt),
+                   jnp.asarray(load_src), jnp.asarray(load_dst))
             last_sub_dev = jnp.asarray(last_sub)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=len(aux),
@@ -733,7 +699,7 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                     + n_loads * WIN_ROWS * LANES * vbytes),
                 transcendentals=0)
             stream_call = pl.pallas_call(
-                _make_stream_hbm_kernel(kahan, kmax0, kmax),
+                _make_stream_hbm_kernel(kahan, kmax0, kmax, nwin),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct(
                     (n_tiles, STREAM_SUBTILES, LANES), vdt),
@@ -753,7 +719,7 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
 
             log.info("pallas SELL body [streamed hbm%s]: %d tiles, %d window "
                      "loads (%.1f MB re-fetch), kmax=%d/%d",
-                     " rx" if sub_win_b is not None else "", n_tiles, n_loads,
+                     f" rx{nwin}" if nwin > 1 else "", n_tiles, n_loads,
                      n_loads * WIN_ROWS * LANES * vbytes / 1e6, kmax0, kmax)
             return apply_stream_hbm
         log.warning("hbm-streamed body wanted but needs %.2f MB of SMEM "

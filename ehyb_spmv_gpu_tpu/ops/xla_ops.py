@@ -111,11 +111,14 @@ def ehyb_body_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
         # class of crash as the contrib barrier below); reachable on TPU via
         # --layout sell_rx with a non-VMEM-resident x.
         slot_attr = jax.lax.optimization_barrier(slot_attr)
-        sel = (slot_attr >> 10) & 1
+        sel = slot_attr >> 10            # 1 bit (dual) or 2 bits (quad)
         hi = (slot_attr >> 7) & 7
         base = jnp.where(sel == 1, e.step_win_b[:, None],
-                         e.step_win[:, None]).astype(jnp.int32)
-        gidx = base + (hi << 7) + lo
+                         e.step_win[:, None])
+        if e.step_win_c.shape[0]:        # windows_per_subtile = 4
+            base = jnp.where(sel == 2, e.step_win_c[:, None], base)
+            base = jnp.where(sel == 3, e.step_win_d[:, None], base)
+        gidx = base.astype(jnp.int32) + (hi << 7) + lo
     else:
         gidx = e.step_win[:, None].astype(jnp.int32) \
             + e.ell_col.astype(jnp.int32)

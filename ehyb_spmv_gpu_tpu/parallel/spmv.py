@@ -204,6 +204,11 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
     if config.row_split_threshold:
         log.info("sharded path: hub-row splitting disabled per shard")
         config = dataclasses.replace(config, row_split_threshold=0)
+    if getattr(config, "windows_per_subtile", 2) != 2:
+        # The in-shard stream kernel decodes only the dual-window (1 sel bit)
+        # layout; quads are a single-chip mechanism for now.
+        log.info("sharded path: windows_per_subtile forced to 2 per shard")
+        config = dataclasses.replace(config, windows_per_subtile=2)
 
     shards = []
     for d in range(n_dev):
@@ -311,11 +316,12 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         rx = bool(shards[0].step_win_b.size)  # layout uniform across shards
         per = []
         for s in shards:
-            sub_win, sub_wb, sub_slice, _rs, _ls, _t = build_stream_maps(s)
+            sub_wins, sub_slice, _rs, _ls, _t = build_stream_maps(s)
             n_sub = s.ell_col.shape[0] // TILE_STEPS
-            sub_win = sub_win[:max(n_sub, 0)]
+            sub_win = sub_wins[0][:max(n_sub, 0)]
             sub_slice = sub_slice[:max(n_sub, 0)]
-            sub_wb = sub_wb[:max(n_sub, 0)] if sub_wb is not None else sub_win
+            sub_wb = sub_wins[1][:max(n_sub, 0)] if len(sub_wins) > 1 \
+                else sub_win
             # interior: every window the sub-tile touches lies fully within
             # the local rows (ext coords [W, W+R]); padding sub-tiles count
             # as interior
@@ -587,6 +593,9 @@ def _shard_body(sh_meta, x_shard, a):
         step_win=a["step_win"][0],
         step_win_b=a["step_win_b"][0] if rx_body
         else a["step_win"][0][:0],
+        # quad windows are not used in the sharded path (build_sharded forces
+        # windows_per_subtile=2 per shard)
+        step_win_c=a["step_win"][0][:0], step_win_d=a["step_win"][0][:0],
         split_src=a["step_win"][0][:0], split_dst=a["step_win"][0][:0],
         er_col=a["er_col"][0], er_val=a["er_val"][0],
         er_slice_offset=a["er_slice_offset"][0], er_rows=a["er_rows"][0],

@@ -58,8 +58,10 @@ def main():
         from ehyb_spmv_gpu_tpu.config import LANES
 
         e = model.ehyb
-        (sub_win, sub_win_b, sub_slice, reset, last_sub,
+        (sub_wins, sub_slice, reset, last_sub,
          n_tiles) = ep.build_stream_maps(e)
+        sub_win = sub_wins[0]
+        sub_win_b = sub_wins[1] if len(sub_wins) > 1 else None
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 

@@ -340,9 +340,11 @@ def test_hbm_cache_plan_invariants(scrambled):
         build_stream_maps)
 
     e, _ = build_rx(scrambled)
-    sub_win, sub_win_b, _, reset, _, n_tiles = build_stream_maps(e)
-    packed, off, cnt, src, dst, kmax0, kmax, n_loads = build_hbm_cache_plan(
-        sub_win, sub_win_b, reset, n_tiles)
+    sub_wins, _, reset, _, n_tiles = build_stream_maps(e)
+    sub_win, sub_win_b = sub_wins[0], sub_wins[1]
+    packed_words, off, cnt, src, dst, kmax0, kmax, n_loads = \
+        build_hbm_cache_plan(sub_wins, reset, n_tiles)
+    packed = packed_words[0]
     S = STREAM_SUBTILES
     mask = (1 << _SLOT_BITS) - 1
     slot_win = {}
@@ -406,3 +408,95 @@ def test_hbm_stream_kahan(monkeypatch):
     y_c = comp.matvec(np.ones(m.dimension))
     assert abs(y_c[0] - 100.0) <= 1e-8 * 100.0, y_c[0]
     np.testing.assert_allclose(y_c[1:], 1.0, rtol=1e-6)
+
+
+# --- quad-window relaxed layout (windows_per_subtile = 4) ------------------
+
+def build_rx4(m, min_nnz=2):
+    cfg = EhybConfig(window_rows=WINDOW_ALIGN, body_layout="sell_rx",
+                     dtype="float64", min_window_group_nnz=min_nnz,
+                     windows_per_subtile=4)
+    plan = make_plan(m.dimension, cfg)
+    labels = partition_rows(m, plan.n_parts, "blocks")
+    r = two_level_reorder(m, labels, plan)
+    m_r = r.apply_to_matrix(m)
+    return coo_to_ehyb(m_r, r, plan, cfg), m_r
+
+
+@pytest.mark.parametrize("fixture", ["poisson_mid", "powerlaw_small",
+                                     "scrambled", "fem_small"])
+def test_rx4_reconstruction(fixture, request):
+    from ehyb_spmv_gpu_tpu.core.convert import verify_conversion
+
+    m = request.getfixturevalue(fixture)
+    e, m_r = build_rx4(m)
+    verify_conversion(m_r, e)
+    if e.stats["nnz_ell"]:
+        assert e.step_win_c.shape == e.step_win.shape
+        assert e.step_win_d.shape == e.step_win.shape
+
+
+def test_rx4_fewer_steps_on_scattered(scrambled):
+    """The whole point of quads: scattered matrices pack into fewer steps
+    (group merging tightens the lane bound + amortizes ceil-to-8 padding)."""
+    e2, _ = build_rx(scrambled)
+    e4, _ = build_rx4(scrambled)
+    assert e4.stats["ell_steps"] < e2.stats["ell_steps"]
+
+
+@pytest.mark.parametrize("fixture", ["poisson_mid", "scrambled",
+                                     "powerlaw_small"])
+def test_rx4_pallas_interpret_vs_oracle(fixture, request, monkeypatch):
+    m = request.getfixturevalue(fixture)
+    monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
+    cfg = EhybConfig(body_layout="sell_rx", windows_per_subtile=4,
+                     relax_body="never", artifact_cache=False)
+    model = ehyb.EhybSpmv(cfg).setup(m)
+    assert model.config.windows_per_subtile == 4
+    x = deterministic_x(m.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(m, x)) < 5e-6
+
+
+def test_rx4_hbm_stream_interpret(scrambled, monkeypatch):
+    """Quad windows through the HBM window-cache body (2 packed slot words)."""
+    _force_nonresident(monkeypatch)
+    cfg = EhybConfig(body_layout="sell_rx", windows_per_subtile=4,
+                     relax_body="never", artifact_cache=False)
+    model = ehyb.EhybSpmv(cfg).setup(scrambled)
+    assert model._pallas_apply.__name__ == "apply_stream_hbm"
+    x = deterministic_x(scrambled.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
+
+
+def test_rx4_kahan_interpret(monkeypatch):
+    m = _cancellation_matrix()
+    monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
+    cfg = EhybConfig(body_layout="sell_rx", windows_per_subtile=4,
+                     relax_body="never", compensated_sum=True,
+                     artifact_cache=False)
+    model = ehyb.EhybSpmv(cfg).setup(m)
+    y_c = model.matvec(np.ones(m.dimension))
+    assert abs(y_c[0] - 100.0) <= 1e-8 * 100.0, y_c[0]
+
+
+def test_rx4_auto_upgrade(monkeypatch):
+    """relax_body='auto' should reach quads on a random matrix that spreads
+    over many windows (the small `scrambled` fixture spans only ~3 windows,
+    where the arbiter correctly declines the upgrade)."""
+    m = generate.random_general(8192, 24, seed=3)
+    monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
+    model = ehyb.EhybSpmv(EhybConfig(artifact_cache=False)).setup(m)
+    assert model.config.body_layout == "sell_rx"
+    assert model.config.windows_per_subtile == 4
+    assert model.ehyb.step_win_c.size > 0
+    x = deterministic_x(m.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(m, x)) < 5e-6
+
+
+def test_rx4_xla_model_vs_oracle(scrambled):
+    """Pure-XLA apply decodes the 2-bit sel (CPU path)."""
+    cfg = EhybConfig(body_layout="sell_rx", windows_per_subtile=4,
+                     relax_body="never", artifact_cache=False)
+    model = ehyb.EhybXlaSpmv(cfg).setup(scrambled)
+    x = deterministic_x(scrambled.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
