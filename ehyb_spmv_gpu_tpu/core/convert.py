@@ -401,24 +401,30 @@ def _pack_steps_relaxed(pairid: np.ndarray, lane: np.ndarray,
     step = np.full(n, -1, dtype=np.int64)
     if n == 0:
         return step
-    rem = np.argsort(order_hint, kind="stable") if order_hint is not None \
-        else np.arange(n, dtype=np.int64)
     C = 128
+    cshift = ncls.bit_length() - 1           # ncls is a power of two
+    # ONE global sort: entries grouped into (pair, lane) runs, hint order
+    # within each run.  Rounds then walk per-run head pointers — O(active
+    # lanes) per round instead of re-sorting the whole remainder (the round-2
+    # formulation cost O(rounds x rem log rem): 10+ minutes of the
+    # permuted_poisson_4096 conversion).
+    k1_e = pairid * C + lane
+    o = np.lexsort((order_hint, k1_e)) if order_hint is not None \
+        else np.argsort(k1_e, kind="stable")
+    k1s = k1_e[o]
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    np.not_equal(k1s[1:], k1s[:-1], out=first[1:])
+    run_start = np.flatnonzero(first)
+    run_end = np.append(run_start[1:], n)
+    head = run_start.copy()                  # next unassigned, per run
+    active = np.flatnonzero(head < run_end)  # run ids with entries left
     r = 0
-    while rem.size:
-        p, l = pairid[rem], lane[rem]
-        k1 = p * C + l
-        o = np.argsort(k1, kind="stable")
-        k1o = k1[o]
-        lead1 = np.empty(o.size, dtype=bool)
-        lead1[0] = True
-        np.not_equal(k1o[1:], k1o[:-1], out=lead1[1:])
-        cand = o[lead1]                      # first per (pair, lane), in rem idx
+    while active.size:
+        cand_pos = head[active]              # positions in o
+        cand = o[cand_pos]                   # entry ids
         # elect, per (pair, slot), the chunk class with most candidates
-        pc = p[cand]
-        jc, hc = slot[rem[cand]], hcls[rem[cand]]
-        cshift = ncls.bit_length() - 1       # ncls is a power of two
-        k3 = ((pc * C + jc) << cshift) + hc
+        k3 = ((pairid[cand] * C + slot[cand]) << cshift) + hcls[cand]
         o2 = np.argsort(k3, kind="stable")
         k3o = k3[o2]
         rlead = np.empty(o2.size, dtype=bool)
@@ -436,40 +442,37 @@ def _pack_steps_relaxed(pairid: np.ndarray, lane: np.ndarray,
         win_runs = o3[firstg]
         winner = np.zeros(rlen.size, dtype=bool)
         winner[win_runs] = True
-        rid = np.cumsum(rlead) - 1
-        in_step = np.zeros(rem.size, dtype=bool)
-        in_step[cand[o2[winner[rid]]]] = True
-        # winner lookup tables for the retry passes (rk2[win_runs] ascending)
-        win_k2 = rk2[win_runs]
+        rid3 = np.cumsum(rlead) - 1
+        taken = np.zeros(active.size, dtype=bool)
+        taken[o2[winner[rid3]]] = True
+        step[cand[taken]] = r
+        # retry depth 1: a losing lane's NEXT entry joins the step when it
+        # matches an elected (pair, slot) -> class winner (summation order
+        # within a lane is free); the chosen entry is swapped to the head
+        # position so the pointer discipline survives.
+        win_k2 = rk2[win_runs]               # ascending
         win_hc = rhc[win_runs]
-        # retry: lanes that lost give their NEXT entries a chance when those
-        # match an elected winner class (entries of a lane may go to any
-        # step — summation order is free)
-        k1_all = k1
-        ks_all = p * C + slot[rem]
-        for _ in range(2):
-            pos = np.searchsorted(win_k2, ks_all)
-            posc = np.minimum(pos, win_k2.size - 1)
-            match = (win_k2[posc] == ks_all) & (hcls[rem] == win_hc[posc])
-            taken_k1 = np.unique(k1_all[in_step])
-            tpos = np.searchsorted(taken_k1, k1_all)
-            tposc = np.minimum(tpos, max(taken_k1.size - 1, 0))
-            lane_free = ~(taken_k1[tposc] == k1_all) if taken_k1.size \
-                else np.ones(rem.size, dtype=bool)
-            elig = match & lane_free & ~in_step
-            if not elig.any():
-                break
-            e_idx = np.flatnonzero(elig)
-            k1e = k1_all[e_idx]
-            oo = np.argsort(k1e, kind="stable")
-            firstl = np.empty(oo.size, dtype=bool)
-            firstl[0] = True
-            k1eo = k1e[oo]
-            np.not_equal(k1eo[1:], k1eo[:-1], out=firstl[1:])
-            in_step[e_idx[oo[firstl]]] = True
-        take = np.flatnonzero(in_step)
-        step[rem[take]] = r
-        rem = rem[~in_step]
+        lose = np.flatnonzero(~taken)
+        lr = active[lose]
+        has_next = head[lr] + 1 < run_end[lr]
+        lr = lr[has_next]
+        lose = lose[has_next]
+        if lr.size and win_k2.size:
+            e2 = o[head[lr] + 1]
+            ks2 = pairid[e2] * C + slot[e2]
+            pos2 = np.searchsorted(win_k2, ks2)
+            pos2c = np.minimum(pos2, win_k2.size - 1)
+            match = (win_k2[pos2c] == ks2) & (hcls[e2] == win_hc[pos2c])
+            sel_runs = lr[match]
+            if sel_runs.size:
+                hh = head[sel_runs]
+                tmp = o[hh].copy()
+                o[hh] = o[hh + 1]
+                o[hh + 1] = tmp
+                step[o[hh]] = r
+                taken[lose[match]] = True
+        head[active[taken]] += 1
+        active = active[head[active] < run_end[active]]
         r += 1
         if r > 1 << 20:      # can't happen: every round drains >=1 per pair
             raise RuntimeError("relaxed packer failed to converge")

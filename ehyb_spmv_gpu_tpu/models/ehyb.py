@@ -59,7 +59,10 @@ VMEM_PRESTAGE_LIMIT = int(os.environ.get(
 #: Used to arbitrate the relax_body='auto' switch.
 _CYC_MW_VREG = 17.8
 _CYC_RX_VREG = 19.9
-_CYC_RX4_VREG = 22.5
+#: Calibrated from the measured v5e rate/step ratios (random_16k: 25.8 vs
+#: 33.5 GFLOP/s at 16200 vs 11728 steps → per-step cost ratio 1.063;
+#: permuted_poisson_512 agrees at 1.055).
+_CYC_RX4_VREG = 21.2
 #: Chunk-sync padding fraction above which the relaxed conversion is tried.
 _RELAX_WASTE_GATE = 0.25
 #: Relaxed-body padding fraction above which the quad-window (4 windows per

@@ -683,8 +683,7 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
     body = partial(_shard_body, (R, W, D, sh.dia_offsets, body_nnz,
                                  sh.exchange_slots, pallas_meta, rx_body))
 
-    @jax.jit
-    def apply_fn(arrs, x_global):
+    def apply_impl(arrs, x_global):
         x2 = x_global.reshape(D, R)
         f = jax.shard_map(
             body, mesh=mesh,
@@ -696,7 +695,31 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
         y2 = f(x2, arrs)
         return y2.reshape(D * R)
 
-    return apply_fn, arrays
+    # Const-mode prestaging (VERDICT r2 next #7): when a device's share of
+    # the matrix fits the VMEM prestage budget, close the arrays over the
+    # jit as constants — XLA then keeps them VMEM-resident across the
+    # benchmark loop exactly like the single-chip flagship's const mode
+    # (models/base.py operand modes), instead of re-streaming them from HBM
+    # every iteration.  The sharded D=1 run was 13-17% below the flagship
+    # for exactly this reason.
+    from ..models.ehyb import VMEM_PRESTAGE_LIMIT
+
+    per_dev_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                        for a in arrays.values()) // max(D, 1)
+    if per_dev_bytes <= VMEM_PRESTAGE_LIMIT and not multiproc:
+        const_arrays = arrays
+
+        @jax.jit
+        def apply_const(x_global):
+            return apply_impl(const_arrays, x_global)
+
+        log.info("sharded apply: const/VMEM mode (%.1f MB per device)",
+                 per_dev_bytes / 1e6)
+        return (lambda arrs, x_global: apply_const(x_global)), arrays
+
+    log.info("sharded apply: args mode (%.1f MB per device)",
+             per_dev_bytes / 1e6)
+    return jax.jit(apply_impl), arrays
 
 
 class ShardedEhybSpmv(SpmvModel):
