@@ -53,7 +53,8 @@ def matrix_fingerprint(m: MatrixCOO) -> str:
 
 #: Bump on ANY converter/reorderer semantic change — cached artifacts encode
 #: the conversion algorithm, not just its inputs.
-FORMAT_VERSION = 5  # 5: quad windows + majority/retry round packing
+FORMAT_VERSION = 6  # 6: big streamed variants lift the SMEM gate (the
+# relax/quad auto decisions baked into cached artifacts changed)
 
 
 def config_fingerprint(cfg: EhybConfig) -> str:

@@ -31,6 +31,7 @@ single-process mesh and across processes under ``jax.distributed``
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -267,16 +268,34 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         cols = np.concatenate(cols) if cols else np.zeros(0, np.int64)
         off = cols[(cols < b0 - W) | (cols >= b0 + R + W)]
         needs.append(np.unique(off))
-    req = [[needs[d][needs[d] // R == o] for o in range(n_dev)]
-           for d in range(n_dev)]
-    req_sizes = np.array([[req[d][o].shape[0] for o in range(n_dev)]
-                          for d in range(n_dev)], dtype=np.int64)
+    # Vectorized owner-major plan build (VERDICT r2 next #9: the former
+    # O(D^2) Python pair loops with per-pair np.unique/searchsorted were
+    # O(D^2) host work; this is linear in total requests + one bincount).
+    # ``needs[d]`` is sorted, so each owner's run is contiguous within it.
+    all_d = np.concatenate([np.full(n.size, d, dtype=np.int64)
+                            for d, n in enumerate(needs)]) \
+        if n_dev else np.zeros(0, np.int64)
+    all_col = np.concatenate(needs) if needs else np.zeros(0, np.int64)
+    all_owner = all_col // R
+    req_sizes = np.bincount(all_d * n_dev + all_owner,
+                            minlength=n_dev * n_dev) \
+        .reshape(n_dev, n_dev).astype(np.int64)
     S = int(req_sizes.max(initial=0))
     send_idx = np.zeros((n_dev, n_dev, max(S, 1)), dtype=np.int32)
-    for o in range(n_dev):
-        for d in range(n_dev):
-            r = req[d][o]
-            send_idx[o, d, : r.shape[0]] = (r - o * R).astype(np.int32)
+    if all_col.size:
+        key = all_d * n_dev + all_owner
+        run_first = np.empty(key.size, dtype=bool)
+        run_first[0] = True
+        np.not_equal(key[1:], key[:-1], out=run_first[1:])
+        starts = np.flatnonzero(run_first)
+        rank = np.arange(key.size, dtype=np.int64) \
+            - np.repeat(starts, np.diff(np.append(starts, key.size)))
+        send_idx.reshape(-1)[
+            (all_owner * n_dev + all_d) * max(S, 1) + rank] = \
+            (all_col - all_owner * R).astype(np.int32)
+    # owner-run starts within each shard's sorted needs (for remapping)
+    owner_starts = [np.searchsorted(needs[d], np.arange(n_dev + 1) * R)
+                    for d in range(n_dev)]
 
     def remap_cols(col_arr: np.ndarray, d: int) -> np.ndarray:
         """Global columns → indices into [x_ext (R+2W) | recv (D*S)]."""
@@ -287,10 +306,7 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         if off_m.any():
             co = c[off_m]
             o = co // R
-            pos = np.empty(co.shape[0], dtype=np.int64)
-            for oo in np.unique(o):
-                mm = o == oo
-                pos[mm] = np.searchsorted(req[d][int(oo)], co[mm])
+            pos = np.searchsorted(needs[d], co) - owner_starts[d][o]
             out[off_m] = XLEN + o * S + pos
         return out.astype(np.int32)
 
@@ -324,11 +340,21 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
                 else sub_win
             # interior: every window the sub-tile touches lies fully within
             # the local rows (ext coords [W, W+R]); padding sub-tiles count
-            # as interior
+            # as interior.  EHYB_FORCE_BOUNDARY=1 disables the split (every
+            # real sub-tile waits for the halos) — the control arm of the
+            # overlap measurement (scripts/scaling.py --overlap;
+            # VERDICT r2 next #8).
             w0 = sub_win.astype(np.int64) * 128
             w1 = sub_wb.astype(np.int64) * 128
-            interior = ((w0 >= W) & (w0 + 1024 <= W + R)
-                        & (w1 >= W) & (w1 + 1024 <= W + R))
+            if os.environ.get("EHYB_FORCE_BOUNDARY", "") == "1" \
+                    or n_dev == 1:
+                # D=1: the "halos" are self-copies — there is nothing to
+                # overlap and the split is pure overhead (measured +1.1% /
+                # -36% under short-region noise; scripts/overlap_tpu.py).
+                interior = np.zeros(sub_win.shape[0], dtype=bool)
+            else:
+                interior = ((w0 >= W) & (w0 + 1024 <= W + R)
+                            & (w1 >= W) & (w1 + 1024 <= W + R))
             interior |= sub_slice >= n_slices_c  # stream padding sub-tiles
             per.append((sub_win, sub_wb, sub_slice, interior))
 
@@ -350,6 +376,11 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
                 present[sl[idx[ok]]] = 1.0
             return w, wb, rs, last, present
 
+        # real (non-padding) interior sub-tiles anywhere: when zero (D=1
+        # forces all-boundary), the interior call and its half of the
+        # combine are skipped entirely
+        has_interior = any(
+            int((p[3] & (p[2] < n_slices_c)).sum()) > 0 for p in per)
         kA = max((int(p[3].sum()) for p in per), default=0)
         kB = max((int((~p[3]).sum()) for p in per), default=0)
         n_tiles_A = max(1, -(-kA // spt))
@@ -378,8 +409,12 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
                                              interior)
             wB, wbB, rB, lB, mB = group_maps(sub_win, sub_wb, sub_slice,
                                              ~interior)
-            winA[i, : wA.shape[0]] = wA
-            winbA[i, : wbA.shape[0]] = wbA
+            # Interior windows are fully inside the local rows: shift their
+            # maps from ext coords to x_local coords so the interior call
+            # reads x_local DIRECTLY — removing the per-iteration x_int
+            # concatenation copy (2 extra x-sized HBM round-trips per step).
+            winA[i, : wA.shape[0]] = wA - W // LANES
+            winbA[i, : wbA.shape[0]] = wbA - W // LANES
             rstA[i, : rA.shape[0]] = rA
             lastA[i], maskA[i] = lA, mA
             winB[i, : wB.shape[0]] = wB
@@ -403,7 +438,8 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
                       maskA=maskA,
                       winB=winB, winbB=winbB, rstB=rstB, lastB=lastB,
                       maskB=maskB,
-                      n_tiles_A=n_tiles_A, n_tiles_B=n_tiles_B, rx=rx)
+                      n_tiles_A=n_tiles_A, n_tiles_B=n_tiles_B, rx=rx,
+                      has_interior=has_interior)
 
     # ---- pad to common shapes + stack ----
     C = config.slice_rows
@@ -519,38 +555,48 @@ def _stream_body_pallas(a, x_local, left_halo, right_halo, meta):
     #4's compute/communication overlap; the distributed analog of
     ``kernel.cu:150-168`` vs ``169-194``).  Scalar-prefetch maps are
     SHARDED OPERANDS (each device prefetches its own tables)."""
-    n_tiles_A, n_tiles_B, interpret, W, kahan, rx = meta
+    (n_tiles_A, n_tiles_B, interpret, W, kahan, rx,
+     has_interior) = meta
     vdt = x_local.dtype
-    zeros_w = jnp.zeros(W, dtype=vdt)
+    # Interior windows lie fully inside the local rows and their maps were
+    # shifted to x_local coords at build time — the interior call reads
+    # x_local directly (no concatenation copy; VERDICT r2 next #7: every
+    # avoidable x-sized HBM round-trip shows up in the D=1 gap).
+    x_int = x_local
     # Tail pad: window starts are aligned to the (possibly negative)
     # minimum chunk, so a top-edge window's fixed 1024-row slice may run
     # past the vector — the dynamic slice would CLAMP and silently shift
     # the window base.  Real entries never gather from the pad.
     tail = jnp.zeros(8 * LANES, dtype=vdt)
-    x_int = jnp.concatenate([zeros_w, x_local, zeros_w, tail])
     x_ext = jnp.concatenate([left_halo, x_local, right_halo, tail])
 
-    callA = _stream_call(n_tiles_A, interpret, vdt, 0, kahan=kahan, rx=rx)
     callB = _stream_call(n_tiles_B, interpret, vdt, n_tiles_A, kahan=kahan,
                          rx=rx)
     if rx:
-        yA = callA(a["stream_winA"][0], a["stream_winbA"][0],
-                   a["stream_rstA"][0],
-                   a["ell_col"][0], a["ell_val"][0],
-                   x_int.reshape(-1, LANES))
         yB = callB(a["stream_winB"][0], a["stream_winbB"][0],
                    a["stream_rstB"][0],
                    a["ell_col"][0], a["ell_val"][0],
                    x_ext.reshape(-1, LANES))
     else:
-        yA = callA(a["stream_winA"][0], a["stream_rstA"][0],
-                   a["ell_col"][0], a["ell_val"][0],
-                   x_int.reshape(-1, LANES))
         yB = callB(a["stream_winB"][0], a["stream_rstB"][0],
                    a["ell_col"][0], a["ell_val"][0],
                    x_ext.reshape(-1, LANES))
-    yA2 = jnp.take(yA.reshape(-1, LANES), a["stream_lastA"][0], axis=0)
     yB2 = jnp.take(yB.reshape(-1, LANES), a["stream_lastB"][0], axis=0)
+    if not has_interior:
+        # all-boundary (D=1, or EHYB_FORCE_BOUNDARY): no interior call, no
+        # second take/mask half of the combine
+        return (yB2 * a["stream_maskB"][0][:, None]).reshape(-1)
+    callA = _stream_call(n_tiles_A, interpret, vdt, 0, kahan=kahan, rx=rx)
+    if rx:
+        yA = callA(a["stream_winA"][0], a["stream_winbA"][0],
+                   a["stream_rstA"][0],
+                   a["ell_col"][0], a["ell_val"][0],
+                   x_int.reshape(-1, LANES))
+    else:
+        yA = callA(a["stream_winA"][0], a["stream_rstA"][0],
+                   a["ell_col"][0], a["ell_val"][0],
+                   x_int.reshape(-1, LANES))
+    yA2 = jnp.take(yA.reshape(-1, LANES), a["stream_lastA"][0], axis=0)
     y = yA2 * a["stream_maskA"][0][:, None] \
         + yB2 * a["stream_maskB"][0][:, None]
     return y.reshape(-1)
@@ -673,7 +719,8 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
             stream_lastB=to_dev(st["lastB"]),
             stream_maskB=to_dev(st["maskB"], cast=True))
         pallas_meta = (st["n_tiles_A"], st["n_tiles_B"],
-                       pallas_mode == "interpret", W, kahan, st["rx"])
+                       pallas_mode == "interpret", W, kahan, st["rx"],
+                       st.get("has_interior", True))
 
     body_nnz = sum(s.get("nnz_ell", 1) for s in sh.stats.get("per_dev", [{}]))
     # rx XLA fallback (CPU tests without Pallas): the body must decode the

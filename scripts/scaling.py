@@ -71,6 +71,35 @@ def main():
         assert err < 5e-6, f"validation failed at D={d}"
     print("scaling mechanism OK (CPU mesh; not a TPU ICI measurement)")
 
+    # ---- comm/compute overlap measurement (VERDICT r2 next #8) ----
+    # The interior/boundary split removes the halo-ppermute data dependency
+    # from the interior pallas_call so XLA *can* overlap the exchange with
+    # it.  Measure the split against the forced all-boundary control
+    # (EHYB_FORCE_BOUNDARY=1: every real sub-tile waits for the halos).
+    d = min(max_devs, devs_avail)
+    n = int(np.sqrt(rows_per_dev * d))
+    m = generate.permuted(generate.poisson2d(n), seed=5)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:d]), (AXIS,))
+    x = deterministic_x(m.dimension)
+    times = {}
+    for label, env in (("split", ""), ("all-boundary", "1")):
+        if env:
+            os.environ["EHYB_FORCE_BOUNDARY"] = env
+        else:
+            os.environ.pop("EHYB_FORCE_BOUNDARY", None)
+        model = ShardedEhybSpmv(EhybConfig(window_rows=1024),
+                                mesh=mesh).setup(m)
+        err = rel_error(model.matvec(x), oracle_spmv(m, x))
+        assert err < 5e-6, f"overlap arm {label} failed validation: {err}"
+        x_dev = model.prepare_x(x)
+        times[label] = measure_loop(
+            lambda k: model.iterate(x_dev, int(k)), 50)
+        print(f"overlap[{label}]: {times[label]*1e6:.1f} us/iter")
+    os.environ.pop("EHYB_FORCE_BOUNDARY", None)
+    gain = times["all-boundary"] / times["split"] - 1.0
+    print(f"overlap gain from interior/boundary split at D={d}: "
+          f"{100*gain:+.1f}% (positive = split faster)")
+
 
 if __name__ == "__main__":
     main()

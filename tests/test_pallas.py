@@ -235,11 +235,15 @@ def test_rx_pallas_interpret_vs_oracle(fixture, request):
 
 
 def test_stream_decline_no_padding(poisson_mid, monkeypatch):
-    """If the streamed body is declined (SMEM budget), ell arrays must stay
-    unpadded so the fallback applies trace cleanly (advisor finding, r1)."""
+    """If the streamed body is declined (stream_body_fits False), ell arrays
+    must stay unpadded so the fallback applies trace cleanly (advisor
+    finding, r1).  The big variants removed the SMEM-budget decline, so the
+    predicate itself is forced False here."""
     import ehyb_spmv_gpu_tpu.ops.ehyb_pallas as ep
 
-    monkeypatch.setattr(ep, "_SMEM_PREFETCH_BUDGET", 8)  # force decline
+    # models/ehyb re-imports the predicate at each setup, so patching the
+    # module attribute reaches it
+    monkeypatch.setattr(ep, "stream_body_fits", lambda *a, **k: False)
     monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
     model = ehyb.EhybSpmv(EhybConfig()).setup(poisson_mid)
     # padding must not have happened
@@ -314,7 +318,8 @@ def test_rx_switch_respects_stream_feasibility(scrambled, monkeypatch):
     import ehyb_spmv_gpu_tpu.ops.ehyb_pallas as ep
 
     monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
-    monkeypatch.setattr(ep, "_SMEM_PREFETCH_BUDGET", 8)  # stream infeasible
+    monkeypatch.setattr(ep, "stream_body_fits",
+                        lambda *a, **k: False)  # stream infeasible
     model = ehyb.EhybSpmv(EhybConfig()).setup(scrambled)
     assert model.config.body_layout == "sell_mw"  # switch suppressed
     x = deterministic_x(scrambled.dimension)
@@ -500,3 +505,61 @@ def test_rx4_xla_model_vs_oracle(scrambled):
     model = ehyb.EhybXlaSpmv(cfg).setup(scrambled)
     x = deterministic_x(scrambled.dimension)
     assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
+
+
+# --- "big" streamed variants (VMEM meta blocks; no SMEM ceiling) -----------
+
+def _tiny_smem(monkeypatch):
+    import ehyb_spmv_gpu_tpu.ops.ehyb_pallas as ep
+
+    monkeypatch.setattr(ep, "_SMEM_PREFETCH_BUDGET", 8)
+    monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
+    return ep
+
+
+@pytest.mark.parametrize("wps", [2, 4])
+def test_resident_big_interpret(scrambled, monkeypatch, wps):
+    """SMEM budget blown but x VMEM-resident: the resident-big kernel (maps
+    in VMEM meta blocks) must serve the stream."""
+    _tiny_smem(monkeypatch)
+    cfg = EhybConfig(body_layout="sell_rx", windows_per_subtile=wps,
+                     relax_body="never", artifact_cache=False)
+    model = ehyb.EhybSpmv(cfg).setup(scrambled)
+    assert model._pallas_apply.__name__ == "apply_stream_big"
+    x = deterministic_x(scrambled.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
+
+
+def test_resident_big_mw_interpret(scrambled, monkeypatch):
+    """Chunk-sync layout through the resident-big kernel (nwin=1);
+    scrambled keeps a real SELL body (poisson converts 100% to DIA)."""
+    _tiny_smem(monkeypatch)
+    model = ehyb.EhybSpmv(EhybConfig(relax_body="never",
+                                     artifact_cache=False)).setup(scrambled)
+    assert model._pallas_apply.__name__ == "apply_stream_big"
+    x = deterministic_x(scrambled.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
+
+
+@pytest.mark.parametrize("wps", [2, 4])
+def test_hbm_big_interpret(scrambled, monkeypatch, wps):
+    """SMEM budget blown AND x non-resident: the hbm-big kernel (window
+    cache + VMEM meta) must serve the stream."""
+    ep = _tiny_smem(monkeypatch)
+    monkeypatch.setattr(ep, "X_RESIDENT_BYTES", 1024)
+    cfg = EhybConfig(body_layout="sell_rx", windows_per_subtile=wps,
+                     relax_body="never", artifact_cache=False)
+    model = ehyb.EhybSpmv(cfg).setup(scrambled)
+    assert model._pallas_apply.__name__ == "apply_stream_hbm_big"
+    x = deterministic_x(scrambled.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
+
+
+def test_hbm_big_kahan(monkeypatch):
+    m = _cancellation_matrix()
+    ep = _tiny_smem(monkeypatch)
+    monkeypatch.setattr(ep, "X_RESIDENT_BYTES", 1024)
+    comp = ehyb.EhybSpmv(EhybConfig(compensated_sum=True,
+                                    artifact_cache=False)).setup(m)
+    y_c = comp.matvec(np.ones(m.dimension))
+    assert abs(y_c[0] - 100.0) <= 1e-8 * 100.0, y_c[0]
