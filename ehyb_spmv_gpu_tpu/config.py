@@ -149,6 +149,14 @@ class EhybConfig:
     #: (spmv.h:46; the hardware has no f64 VPU).  Costs extra VPU ops; off
     #: by default.
     compensated_sum: bool = False
+    #: Double-word (f32x2) value precision: values AND x carried as (hi, lo)
+    #: f32 pairs, products via Dekker two-product, ordered Neumaier
+    #: reductions — the full f64 value contract of the reference
+    #: (spmv.h:46) on f64-less VPU hardware (ops/dword.py).  ~1e-14
+    #: relative vs the exact-f64 oracle; runs through the XLA formulation
+    #: (a precision mode, ~10x slower than the f32 flagship).  Implies
+    #: row_split_threshold=0 and no long-row extraction.
+    dword_values: bool = False
     #: Multi-window layout: minimum entries a (slice, window) group needs to be
     #: packed into body tiles; smaller groups spill to the ER tail.  Measured
     #: break-even on v5e: a kept group costs ≤8 width-steps (~22 VPU cyc), an

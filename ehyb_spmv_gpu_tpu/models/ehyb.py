@@ -87,8 +87,12 @@ class EhybXlaSpmv(SpmvModel):
         return self.dev if getattr(self, "_args_mode", False) else None
 
     def apply_operands(self, operands, x_dev):
-        return ehyb_apply_xla(operands if operands is not None else self.dev,
-                              x_dev)
+        dev = operands if operands is not None else self.dev
+        if getattr(self.config, "dword_values", False):
+            from ..ops.dword import dword_apply
+
+            return dword_apply(dev, self._dword_lo, x_dev)
+        return ehyb_apply_xla(dev, x_dev)
 
     def _rx_supported(self, e_rx: "EhybMatrix") -> bool:
         """Whether this model can run the relaxed layout (the XLA model
@@ -97,11 +101,37 @@ class EhybXlaSpmv(SpmvModel):
         TPU fusion emitter)."""
         return True
 
+    def _upload(self, cfg):
+        """Device upload; double-word mode splits the f64 host values into
+        (hi, lo) f32 pairs — hi via the round-to-nearest cast, lo kept in
+        a side dict consumed by ops.dword."""
+        if not getattr(cfg, "dword_values", False):
+            return self.ehyb.to_jax(dtype=cfg.dtype)
+        from ..ops.dword import split_f64
+
+        e = self.ehyb
+        if e.long_rows.size:
+            raise ValueError("dword_values does not support long rows")
+        dev = e.to_jax(dtype="float32")
+        self._dword_lo = {
+            "ell": jnp.asarray(split_f64(np.asarray(e.ell_val))[1]),
+            "er": jnp.asarray(split_f64(np.asarray(e.er_val))[1]),
+            "dia": jnp.asarray(split_f64(np.asarray(e.dia_val))[1]),
+        }
+        return dev
+
     def setup(self, m: MatrixCOO) -> "EhybXlaSpmv":
         import time as _time
 
         self.m = m
         cfg = self.config
+        if getattr(cfg, "dword_values", False):
+            # Double-word precision mode (ops/dword.py): convert with f64
+            # host values (split into f32 pairs at upload); long rows and
+            # hub splitting are unsupported in the ordered reductions.
+            self.config = cfg = dataclasses.replace(
+                cfg, dtype="float64", long_row_threshold=1 << 30,
+                row_split_threshold=0, relax_body="never")
         dim = m.dimension
         #: Host preprocessing wall-times (the reference prints its partition
         #: time at reordering.c:298; bench.py forwards these to the JSON).
@@ -131,7 +161,7 @@ class EhybXlaSpmv(SpmvModel):
                         and getattr(cfg, "windows_per_subtile", 2) != 4:
                     self.config = cfg = dataclasses.replace(
                         cfg, windows_per_subtile=4)
-                self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
+                self.dev = self._upload(cfg)
                 self.setup_seconds["cache_load"] = _time.perf_counter() - _t0
                 self._finish_setup()
                 return self
@@ -200,7 +230,7 @@ class EhybXlaSpmv(SpmvModel):
 
             save_artifacts(m, cfg_key, self.ehyb, self.reordering,
                            cfg.cache_dir)
-        self.dev = self.ehyb.to_jax(dtype=cfg.dtype)
+        self.dev = self._upload(cfg)
         self.setup_seconds["total"] = _time.perf_counter() - _t0
         self._finish_setup()
         log.info("%s ready: %s | setup %s | stats=%s", self.name,
@@ -213,14 +243,23 @@ class EhybXlaSpmv(SpmvModel):
     # solver_test.c:376,383) — outside the timed region, like the reference.
     def prepare_x(self, x: np.ndarray) -> jax.Array:
         xr = self.reordering.vector_reorder(np.asarray(x))
+        if getattr(self.config, "dword_values", False):
+            from ..ops.dword import split_f64
+
+            xp = self.ehyb.pad_x(xr.astype(np.float64))
+            hi, lo = split_f64(xp)
+            return jnp.asarray(np.stack([hi, lo]))
         return jnp.asarray(self.ehyb.pad_x(xr.astype(self.config.dtype)))
 
     def recover_y(self, y: jax.Array) -> np.ndarray:
-        y_np = np.asarray(y, dtype=np.float64)[: self.m.n_rows]
+        y_np = np.asarray(y, dtype=np.float64)
+        if y_np.ndim == 2:  # dword (hi, lo) pair: exact f64 recombine
+            y_np = y_np[0] + y_np[1]
+        y_np = y_np[: self.m.n_rows]
         return self.reordering.vector_recover(y_np)
 
     def apply(self, x_dev: jax.Array) -> jax.Array:
-        return ehyb_apply_xla(self.dev, x_dev)
+        return self.apply_operands(None, x_dev)
 
 
 class EhybSpmv(EhybXlaSpmv):
@@ -235,6 +274,8 @@ class EhybSpmv(EhybXlaSpmv):
     name = "ehyb"
 
     def _pallas_mode(self) -> str:
+        if getattr(self.config, "dword_values", False):
+            return ""  # precision mode runs the XLA dword formulation
         force = os.environ.get("EHYB_FORCE_PALLAS", "").lower()
         if force in ("0", "false", "off", "no"):
             return ""  # explicit disable
@@ -356,10 +397,10 @@ class EhybSpmv(EhybXlaSpmv):
         return self.apply_operands(None, x_dev)
 
     def apply_operands(self, operands, x_dev):
-        dev = operands if operands is not None else self.dev
         if getattr(self, "_use_pallas", False):
+            dev = operands if operands is not None else self.dev
             return self._pallas_apply(dev, x_dev)
-        return ehyb_apply_xla(dev, x_dev)
+        return super().apply_operands(operands, x_dev)
 
 
 class HybSpmv(EhybXlaSpmv):

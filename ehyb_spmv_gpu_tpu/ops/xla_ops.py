@@ -87,16 +87,10 @@ def ehyb_dia_xla(e: EhybDevice, x_pad: jax.Array,
     return y
 
 
-def ehyb_body_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
-    """SELL body: y[s*128+lane] = Σ_k ell_val[k,lane]·x[win(s)+ell_col[k,lane]].
-
-    Semantic reference for phase 1 of the fused kernel
-    (``kernelCachedBlockedELL`` ``kernel.cu:150-168``)."""
-    n_steps, C = e.ell_val.shape
-    n_slices = e.slice_win_start.shape[0]
-    if n_steps == 0 or e.body_nnz == 0:
-        return jnp.zeros(n_slices * C, dtype=x_pad.dtype)
-    step_slice = _step_slice_ids(e.slice_offset, n_steps)
+def body_gather_index(e: EhybDevice) -> jax.Array:
+    """Global x index per SELL-body cell (decodes plain window-local and
+    relaxed lo-slot layouts) — shared by the XLA body and the double-word
+    precision path."""
     if e.rx_body:
         # Relaxed lo-slot layout (sell_rx): ell_col packs
         # (sel << 10) | (hi << 7) | lo; (sel, hi) at lane j describe LO-SLOT j,
@@ -122,6 +116,20 @@ def ehyb_body_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
     else:
         gidx = e.step_win[:, None].astype(jnp.int32) \
             + e.ell_col.astype(jnp.int32)
+    return gidx
+
+
+def ehyb_body_xla(e: EhybDevice, x_pad: jax.Array) -> jax.Array:
+    """SELL body: y[s*128+lane] = Σ_k ell_val[k,lane]·x[win(s)+ell_col[k,lane]].
+
+    Semantic reference for phase 1 of the fused kernel
+    (``kernelCachedBlockedELL`` ``kernel.cu:150-168``)."""
+    n_steps, C = e.ell_val.shape
+    n_slices = e.slice_win_start.shape[0]
+    if n_steps == 0 or e.body_nnz == 0:
+        return jnp.zeros(n_slices * C, dtype=x_pad.dtype)
+    step_slice = _step_slice_ids(e.slice_offset, n_steps)
+    gidx = body_gather_index(e)
     contrib = e.ell_val.astype(x_pad.dtype) * jnp.take(x_pad, gidx, axis=0)
     # Barrier: the XLA TPU fusion emitter CHECK-fails when this gather fuses
     # into the segment-sum scatter (fusion_emitter.cc "kSublaneGather").

