@@ -190,6 +190,30 @@ class EhybXlaSpmv(SpmvModel):
         self.setup_seconds["order"] = _time.perf_counter() - _t0
         _t1 = _time.perf_counter()
         m_r = self.reordering.apply_to_matrix(m)
+        if (cfg.body_layout == "sell_mw" and cfg.relax_body == "auto"
+                and m.nnz > 2_000_000):
+            # Pre-decide mw vs rx from the sampled estimator instead of
+            # paying a full chunk-sync conversion that the waste gate will
+            # discard (a conversion of an 80M-nnz matrix is minutes of the
+            # setup budget; permuted_poisson_4096's auto chain converted
+            # three times).  Skip mw only when its padding is predicted
+            # FAR over the trial gate (est/ideal > 2.2 ~ waste > 55%).
+            from ..core.ordering import SAMPLE_CAP, estimate_mw_steps
+
+            rr, cc, frac = m_r.row, m_r.col, 1.0
+            if m.nnz > SAMPLE_CAP:
+                frac = SAMPLE_CAP / m.nnz
+                keep_s = np.random.default_rng(0).random(m.nnz) < frac
+                rr, cc = rr[keep_s], cc[keep_s]
+            est = estimate_mw_steps(
+                rr, cc, dim, cfg.slice_rows,
+                max(1, int(round(cfg.min_window_group_nnz * frac))))
+            if est > 2.2 * (rr.size / 128.0):
+                log.info("mw conversion skipped: sampled estimate %.1fx the "
+                         "ideal step count — converting relaxed directly",
+                         est / (rr.size / 128.0))
+                self.config = cfg = dataclasses.replace(
+                    cfg, body_layout="sell_rx")
         self.ehyb: EhybMatrix = coo_to_ehyb(m_r, self.reordering, self.plan, cfg)
         if cfg.body_layout == "sell_mw" and cfg.relax_body == "auto":
             st = self.ehyb.stats
@@ -381,13 +405,20 @@ class EhybSpmv(EhybXlaSpmv):
                 # in VMEM and the packed blocked dval layout.
                 from ..ops.dia_pallas import make_dia_pallas_apply, pack_dia
 
-                packed, _ = pack_dia(np.asarray(self.ehyb.dia_val))
-                self.dev = dataclasses.replace(
-                    self.dev, dia_val=jax.numpy.asarray(packed))
-                dia_apply = make_dia_pallas_apply(
-                    self.dev.dia_offsets, self.ehyb.dia_val.shape[1],
-                    self.config.dtype, interpret=(mode == "interpret"))
-                self._dia_apply = dia_apply  # introspection (phase_breakdown)
+                try:
+                    dia_apply = make_dia_pallas_apply(
+                        self.dev.dia_offsets, self.ehyb.dia_val.shape[1],
+                        self.config.dtype, interpret=(mode == "interpret"))
+                except ValueError as exc:
+                    # e.g. streamed DIA with offset span > block_rows: keep
+                    # the XLA shifted-slice fallback
+                    log.warning("pallas DIA unavailable (%s); XLA DIA", exc)
+                    dia_apply = None
+                if dia_apply is not None:
+                    packed, _ = pack_dia(np.asarray(self.ehyb.dia_val))
+                    self.dev = dataclasses.replace(
+                        self.dev, dia_val=jax.numpy.asarray(packed))
+                    self._dia_apply = dia_apply  # phase_breakdown introspection
             self._pallas_apply = make_ehyb_pallas_apply(
                 self.ehyb, self.config, interpret=(mode == "interpret"),
                 dia_apply=dia_apply, streaming=streaming)

@@ -41,6 +41,9 @@ log = get_logger(__name__)
 #: Rows of y produced per grid step (must be a multiple of 1024; 8192 rows
 #: keeps the streamed dval block (K·Brows·512 B) comfortably double-buffered).
 BLOCK_ROWS = 8192
+#: Above this x footprint the kernel streams x block pairs instead of
+#: keeping it VMEM-resident (see make_dia_pallas_apply).
+X_RESIDENT_DIA_BYTES = 32 * 1024 * 1024
 
 
 def pack_dia(dia_val: np.ndarray, block_rows: int = BLOCK_ROWS
@@ -81,34 +84,68 @@ def make_dia_pallas_apply(offsets: Sequence[int], dim_r: int, dtype,
     # Extended x rows: block b, diag k reads sublane rows
     # [b*brows + (d-lo)//128, +brows+1); keep one extra tile row of slack.
     x_rows_ext = nb * brows + cdiv(hi - lo, LANES) + 2
+    # x streaming: beyond ~32 MB a fully-resident x OOMs VMEM at compile
+    # once the surrounding program stages its own operands (observed on
+    # permuted_poisson_4096's 67 MB x) — stream x as per-block PAIRS
+    # (block b and b+1 cover every shifted window when the offset span
+    # ≤ block_rows, which extract_diagonals' ±window bound guarantees).
+    x_stream = x_rows_ext * LANES * np.dtype(dtype).itemsize \
+        > X_RESIDENT_DIA_BYTES
+    if x_stream and hi - lo + LANES > block_rows:
+        raise ValueError("streamed DIA needs offset span <= block_rows")
 
-    def kernel(dval_ref, x_ref, y_ref):
-        b = pl.program_id(0)
-        acc = jnp.zeros((brows, LANES), dtype=y_ref.dtype)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (brows, LANES), 1)
+    def body_acc(xs_at, dval_ref, y_dtype, lane):
+        acc = jnp.zeros((brows, LANES), dtype=y_dtype)
         for k, d in enumerate(offsets):
             s = d - lo
             s_hi, s_lo = s // LANES, s % LANES
             v = dval_ref[0, k * brows:(k + 1) * brows, :]
             if s_lo == 0:
-                xs = x_ref[pl.ds(b * brows + s_hi, brows), :]
+                xs = xs_at(s_hi, brows)
             else:
-                a = x_ref[pl.ds(b * brows + s_hi, brows + 1), :]
+                a = xs_at(s_hi, brows + 1)
                 # want xs[r, l] = a_flat[r*128 + l + s_lo]
                 rolled = pltpu.roll(a, LANES - s_lo, 1)  # [l] ← [(l+s_lo)%128]
                 xs = jnp.where(lane < LANES - s_lo, rolled[:brows, :],
                                rolled[1:brows + 1, :])
             acc = acc + v * xs
-        y_ref[0] = acc
+        return acc
+
+    if x_stream:
+        def kernel(dval_ref, xa_ref, xb_ref, y_ref):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (brows, LANES), 1)
+            xcat = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)
+            y_ref[0] = body_acc(lambda s_hi, n: xcat[s_hi:s_hi + n, :],
+                                dval_ref, y_ref.dtype, lane)
+
+        in_specs = [
+            pl.BlockSpec((1, K * brows, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # dval block (streamed)
+            pl.BlockSpec((1, brows, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # x block b
+            pl.BlockSpec((1, brows, LANES), lambda b: (b + 1, 0, 0),
+                         memory_space=pltpu.VMEM),   # x block b+1 (halo)
+        ]
+        x_blocks = nb + 1
+    else:
+        def kernel(dval_ref, x_ref, y_ref):
+            b = pl.program_id(0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (brows, LANES), 1)
+            y_ref[0] = body_acc(
+                lambda s_hi, n: x_ref[pl.ds(b * brows + s_hi, n), :],
+                dval_ref, y_ref.dtype, lane)
+
+        in_specs = [
+            pl.BlockSpec((1, K * brows, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # dval block (streamed)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x_ext resident
+        ]
+        x_blocks = 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, K * brows, LANES), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),   # dval block (streamed)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x_ext resident
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, brows, LANES), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -125,15 +162,21 @@ def make_dia_pallas_apply(offsets: Sequence[int], dim_r: int, dtype,
 
     def apply(dval_packed: jax.Array, x_pad: jax.Array) -> jax.Array:
         # x_ext[j] = x[j + lo]  (zeros outside [0, len(x)))
-        n_ext = x_rows_ext * LANES
+        rows = max(x_rows_ext, (x_blocks or 0) * brows)
+        n_ext = rows * LANES
         start = -lo  # ≥ 0
         x_ext = jnp.zeros(n_ext, dtype=x_pad.dtype)
         take = min(x_pad.shape[0], n_ext - start)
         x_ext = x_ext.at[start:start + take].set(x_pad[:take])
-        y = call(dval_packed, x_ext.reshape(x_rows_ext, LANES))
+        if x_stream:
+            x3 = x_ext.reshape(x_blocks, brows, LANES)
+            y = call(dval_packed, x3, x3)
+        else:
+            y = call(dval_packed, x_ext.reshape(rows, LANES))
         return y.reshape(-1)[:dim_r]
 
     log.info("pallas DIA body: K=%d diagonals, %d blocks of %d rows "
-             "(dval stream %.1f MB/iter)", K, nb, block_rows,
-             K * dim_p * np.dtype(dtype).itemsize / 1e6)
+             "(dval stream %.1f MB/iter%s)", K, nb, block_rows,
+             K * dim_p * np.dtype(dtype).itemsize / 1e6,
+             ", x streamed" if x_stream else "")
     return apply

@@ -69,9 +69,12 @@ WIN_ROWS = WINDOW_ALIGN // LANES  # 8
 #: windowed-BlockSpec variant is used.  Mosaic's default scoped-VMEM budget is
 #: 16 MB; the pallas_call raises it (v5e has 128 MB) so residency extends to
 #: ~16M-row vectors while leaving room for the streamed col/val double buffers.
+#: 64 MB: a 96 MB trial OOM'd VMEM at compile on permuted_poisson_4096's
+#: 67 MB x — the pallas call fits alone, but the surrounding XLA program
+#: stages operands concurrently and the allocator runs out of stack.
 X_RESIDENT_BYTES = int(__import__("os").environ.get(
-    "EHYB_X_RESIDENT_BYTES", 96 * 1024 * 1024))
-_VMEM_LIMIT = 112 * 1024 * 1024
+    "EHYB_X_RESIDENT_BYTES", 64 * 1024 * 1024))
+_VMEM_LIMIT = 80 * 1024 * 1024
 #: Scalar-prefetch arrays (tile→slice/first maps + per-subtile window rows)
 #: live in SMEM (~1 MB per core); beyond this budget the Pallas body cannot
 #: be scheduled and the apply falls back to the XLA formulation.

@@ -167,3 +167,41 @@ def test_dia_serialization_roundtrip(tmp_path):
     np.testing.assert_array_equal(e.dia_val, e2.dia_val)
     assert e2.stats.get("nnz_dia") == e.stats["nnz_dia"]
     verify_conversion(m_r, e2)
+
+
+def test_dia_pallas_streamed_x(monkeypatch):
+    """x-streamed DIA variant (block pairs; the >32MB regime) vs the
+    resident variant and the oracle, in interpret mode."""
+    import ehyb_spmv_gpu_tpu.ops.dia_pallas as dp
+    import numpy as np
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    dim = 8192
+    offsets = [-1024, -128, -1, 0, 1, 128, 1024]
+    dia = rng.standard_normal((len(offsets), dim)).astype(np.float32)
+    x = rng.standard_normal(dim).astype(np.float32)
+    want = np.zeros(dim)
+    for k, d in enumerate(offsets):
+        i = np.arange(dim)
+        j = i + d
+        ok = (j >= 0) & (j < dim)
+        want[i[ok]] += dia[k, i[ok]].astype(np.float64) * x[j[ok]]
+    packed, _ = dp.pack_dia(dia, block_rows=4096)
+    monkeypatch.setattr(dp, "X_RESIDENT_DIA_BYTES", 1024)  # force streaming
+    apply_s = dp.make_dia_pallas_apply(offsets, dim, "float32",
+                                       block_rows=4096, interpret=True)
+    y = np.asarray(apply_s(jnp.asarray(packed), jnp.asarray(x)))[:dim]
+    np.testing.assert_allclose(y, want, rtol=2e-5, atol=1e-4)
+
+
+def test_dia_pallas_streamed_span_guard(monkeypatch):
+    """Offset span beyond block_rows must raise (the model falls back to
+    the XLA DIA)."""
+    import ehyb_spmv_gpu_tpu.ops.dia_pallas as dp
+    import pytest
+
+    monkeypatch.setattr(dp, "X_RESIDENT_DIA_BYTES", 1024)
+    with pytest.raises(ValueError):
+        dp.make_dia_pallas_apply([-4096, 0, 4096], 65536, "float32",
+                                 block_rows=2048, interpret=True)
