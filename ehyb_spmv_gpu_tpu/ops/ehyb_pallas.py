@@ -131,7 +131,10 @@ def _sell_body_kernel_windowed(tile_slice_ref, tile_first_ref, win_block_ref,
 #: col+val per step) amortize the measured ~240 ns flat per-grid-step cost of
 #: the HBM-streaming regime (small 24 KB tiles cap at ~100 GB/s; see
 #: scripts/probe_blockspec_windows.py and the git history probes).
-STREAM_SUBTILES = 32
+#: Env-overridable (<=128; the big meta blocks hold one slot word per
+#: sub-tile in a 128-lane row) for per-matrix tuning experiments.
+STREAM_SUBTILES = int(__import__("os").environ.get("EHYB_STREAM_SUBTILES",
+                                                   "32"))
 
 
 def _two_sum(a, b):

@@ -205,11 +205,6 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
     if config.row_split_threshold:
         log.info("sharded path: hub-row splitting disabled per shard")
         config = dataclasses.replace(config, row_split_threshold=0)
-    if getattr(config, "windows_per_subtile", 2) != 2:
-        # The in-shard stream kernel decodes only the dual-window (1 sel bit)
-        # layout; quads are a single-chip mechanism for now.
-        log.info("sharded path: windows_per_subtile forced to 2 per shard")
-        config = dataclasses.replace(config, windows_per_subtile=2)
 
     shards = []
     for d in range(n_dev):
@@ -244,6 +239,11 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
         e.step_win = (e.step_win.astype(np.int64) + W).astype(np.int32)
         if e.step_win_b.size:
             e.step_win_b = (e.step_win_b.astype(np.int64)
+                            + W).astype(np.int32)
+        if e.step_win_c.size:  # quad windows shift with the ext x too
+            e.step_win_c = (e.step_win_c.astype(np.int64)
+                            + W).astype(np.int32)
+            e.step_win_d = (e.step_win_d.astype(np.int64)
                             + W).astype(np.int32)
         # ER/long columns back to global coordinates (padding cells have
         # val == 0, so the shifted padding gather is harmless).
@@ -329,41 +329,40 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
 
         spt = STREAM_SUBTILES
         n_slices_c = shards[0].n_slices  # uniform: every shard has R rows
-        rx = bool(shards[0].step_win_b.size)  # layout uniform across shards
         per = []
         for s in shards:
             sub_wins, sub_slice, _rs, _ls, _t = build_stream_maps(s)
             n_sub = s.ell_col.shape[0] // TILE_STEPS
-            sub_win = sub_wins[0][:max(n_sub, 0)]
+            wins = [a[:max(n_sub, 0)] for a in sub_wins]
             sub_slice = sub_slice[:max(n_sub, 0)]
-            sub_wb = sub_wins[1][:max(n_sub, 0)] if len(sub_wins) > 1 \
-                else sub_win
             # interior: every window the sub-tile touches lies fully within
             # the local rows (ext coords [W, W+R]); padding sub-tiles count
             # as interior.  EHYB_FORCE_BOUNDARY=1 disables the split (every
             # real sub-tile waits for the halos) — the control arm of the
-            # overlap measurement (scripts/scaling.py --overlap;
-            # VERDICT r2 next #8).
-            w0 = sub_win.astype(np.int64) * 128
-            w1 = sub_wb.astype(np.int64) * 128
+            # overlap measurement (scripts/overlap_tpu.py; VERDICT r2 #8).
             if os.environ.get("EHYB_FORCE_BOUNDARY", "") == "1" \
                     or n_dev == 1:
                 # D=1: the "halos" are self-copies — there is nothing to
                 # overlap and the split is pure overhead (measured +1.1% /
                 # -36% under short-region noise; scripts/overlap_tpu.py).
-                interior = np.zeros(sub_win.shape[0], dtype=bool)
+                interior = np.zeros(wins[0].shape[0], dtype=bool)
             else:
-                interior = ((w0 >= W) & (w0 + 1024 <= W + R)
-                            & (w1 >= W) & (w1 + 1024 <= W + R))
+                interior = np.ones(wins[0].shape[0], dtype=bool)
+                for a in wins:
+                    w0 = a.astype(np.int64) * 128
+                    interior &= (w0 >= W) & (w0 + 1024 <= W + R)
             interior |= sub_slice >= n_slices_c  # stream padding sub-tiles
-            per.append((sub_win, sub_wb, sub_slice, interior))
+            per.append((wins, sub_slice, interior))
 
-        def group_maps(sub_win, sub_wb, sub_slice, sel):
-            """Per-group (winA, winB, reset, last, present) in group order."""
-            w, wb = sub_win[sel], sub_wb[sel]
+        nwin = max((len(p[0]) for p in per), default=1)
+
+        def group_maps(wins, sub_slice, sel):
+            """Per-group (win maps list, reset, last, present) in group
+            order."""
+            ws = [a[sel] for a in wins]
             sl = sub_slice[sel]
-            rs = np.ones(w.shape[0], dtype=np.int32)
-            if w.shape[0]:
+            rs = np.ones(ws[0].shape[0], dtype=np.int32)
+            if ws[0].shape[0]:
                 rs[1:] = sl[1:] != sl[:-1]
             last = np.zeros(n_slices_c, dtype=np.int32)
             present = np.zeros(n_slices_c, dtype=np.float32)
@@ -374,51 +373,48 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
                 ok = sl[idx] < n_slices_c
                 last[sl[idx[ok]]] = idx[ok]
                 present[sl[idx[ok]]] = 1.0
-            return w, wb, rs, last, present
+            return ws, rs, last, present
 
         # real (non-padding) interior sub-tiles anywhere: when zero (D=1
         # forces all-boundary), the interior call and its half of the
         # combine are skipped entirely
         has_interior = any(
-            int((p[3] & (p[2] < n_slices_c)).sum()) > 0 for p in per)
-        kA = max((int(p[3].sum()) for p in per), default=0)
-        kB = max((int((~p[3]).sum()) for p in per), default=0)
+            int((p[2] & (p[1] < n_slices_c)).sum()) > 0 for p in per)
+        kA = max((int(p[2].sum()) for p in per), default=0)
+        kB = max((int((~p[2]).sum()) for p in per), default=0)
         n_tiles_A = max(1, -(-kA // spt))
         n_tiles_B = max(1, -(-kB // spt))
         nsA, nsB = n_tiles_A * spt, n_tiles_B * spt
-        winA = np.zeros((n_dev, nsA), dtype=np.int32)
-        winbA = np.zeros((n_dev, nsA), dtype=np.int32)
+        winsA = [np.zeros((n_dev, nsA), dtype=np.int32) for _ in range(nwin)]
         rstA = np.ones((n_dev, nsA), dtype=np.int32)
         lastA = np.zeros((n_dev, n_slices_c), dtype=np.int32)
         maskA = np.zeros((n_dev, n_slices_c), dtype=np.float32)
-        winB = np.zeros((n_dev, nsB), dtype=np.int32)
-        winbB = np.zeros((n_dev, nsB), dtype=np.int32)
+        winsB = [np.zeros((n_dev, nsB), dtype=np.int32) for _ in range(nwin)]
         rstB = np.ones((n_dev, nsB), dtype=np.int32)
         lastB = np.zeros((n_dev, n_slices_c), dtype=np.int32)
         maskB = np.zeros((n_dev, n_slices_c), dtype=np.float32)
         # physically reorder each shard's ell arrays: interior sub-tiles
         # first (padded to whole tiles), then boundary sub-tiles
-        for i, (s, (sub_win, sub_wb, sub_slice, interior)) in enumerate(
+        for i, (s, (wins, sub_slice, interior)) in enumerate(
                 zip(shards, per)):
             C_ = config.slice_rows
             col3 = s.ell_col.reshape(-1, TILE_STEPS, C_)
             val3 = s.ell_val.reshape(-1, TILE_STEPS, C_)
             selA = np.flatnonzero(interior)
             selB = np.flatnonzero(~interior)
-            wA, wbA, rA, lA, mA = group_maps(sub_win, sub_wb, sub_slice,
-                                             interior)
-            wB, wbB, rB, lB, mB = group_maps(sub_win, sub_wb, sub_slice,
-                                             ~interior)
-            # Interior windows are fully inside the local rows: shift their
-            # maps from ext coords to x_local coords so the interior call
-            # reads x_local DIRECTLY — removing the per-iteration x_int
-            # concatenation copy (2 extra x-sized HBM round-trips per step).
-            winA[i, : wA.shape[0]] = wA - W // LANES
-            winbA[i, : wbA.shape[0]] = wbA - W // LANES
+            wsA, rA, lA, mA = group_maps(wins, sub_slice, interior)
+            wsB, rB, lB, mB = group_maps(wins, sub_slice, ~interior)
+            for w in range(nwin):
+                a = wsA[w] if w < len(wsA) else wsA[0]
+                # Interior windows are fully inside the local rows: shift
+                # their maps from ext coords to x_local coords so the
+                # interior call reads x_local DIRECTLY — removing the
+                # per-iteration x_int concatenation copy.
+                winsA[w][i, : a.shape[0]] = a - W // LANES
+                b = wsB[w] if w < len(wsB) else wsB[0]
+                winsB[w][i, : b.shape[0]] = b
             rstA[i, : rA.shape[0]] = rA
             lastA[i], maskA[i] = lA, mA
-            winB[i, : wB.shape[0]] = wB
-            winbB[i, : wbB.shape[0]] = wbB
             rstB[i, : rB.shape[0]] = rB
             lastB[i], maskB[i] = lB, mB
             new_col = np.zeros((nsA + nsB, TILE_STEPS, C_),
@@ -434,11 +430,11 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
             # step_win is superseded by the group maps; keep shape-consistent
             s.step_win = np.zeros(s.ell_col.shape[0], dtype=np.int32)
             s.step_win_b = s.step_win_b[:0]
-        stream = dict(winA=winA, winbA=winbA, rstA=rstA, lastA=lastA,
-                      maskA=maskA,
-                      winB=winB, winbB=winbB, rstB=rstB, lastB=lastB,
-                      maskB=maskB,
-                      n_tiles_A=n_tiles_A, n_tiles_B=n_tiles_B, rx=rx,
+            s.step_win_c = s.step_win_c[:0]
+            s.step_win_d = s.step_win_d[:0]
+        stream = dict(winsA=winsA, rstA=rstA, lastA=lastA, maskA=maskA,
+                      winsB=winsB, rstB=rstB, lastB=lastB, maskB=maskB,
+                      n_tiles_A=n_tiles_A, n_tiles_B=n_tiles_B, nwin=nwin,
                       has_interior=has_interior)
 
     # ---- pad to common shapes + stack ----
@@ -502,33 +498,22 @@ def build_sharded(m_r: MatrixCOO, reordering: Reordering, window_rows: int,
 
 
 def _stream_call(n_tiles, interpret, vdt, tile_offset, kahan=False,
-                 rx=False):
+                 nwin=1):
     """Build one streamed-body pallas_call whose col/val BlockSpecs read
-    tiles starting at ``tile_offset`` of the (reordered) ell arrays."""
+    tiles starting at ``tile_offset`` of the (reordered) ell arrays.
+    ``nwin`` = x windows per sub-tile (1 chunk-sync, 2 dual, 4 quad)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from ..ops.ehyb_pallas import (STREAM_SUBTILES, TILE_STEPS, _VMEM_LIMIT,
-                                   _sell_body_kernel_stream,
-                                   _sell_body_kernel_stream_kahan,
-                                   _sell_body_kernel_stream_rx,
-                                   _sell_body_kernel_stream_rx_kahan)
+                                   _make_stream_resident_kernel)
 
     spt = STREAM_SUBTILES * TILE_STEPS
-    if rx:
-        idx_map = lambda t, wa, wb, rs: (t + tile_offset, 0)  # noqa: E731
-        out_map = lambda t, wa, wb, rs: (t, 0, 0)  # noqa: E731
-        kernel = _sell_body_kernel_stream_rx_kahan if kahan \
-            else _sell_body_kernel_stream_rx
-        n_prefetch = 3
-    else:
-        idx_map = lambda t, wr, rs: (t + tile_offset, 0)  # noqa: E731
-        out_map = lambda t, wr, rs: (t, 0, 0)  # noqa: E731
-        kernel = _sell_body_kernel_stream_kahan if kahan \
-            else _sell_body_kernel_stream
-        n_prefetch = 2
+    idx_map = lambda t, *_: (t + tile_offset, 0)  # noqa: E731
+    out_map = lambda t, *_: (t, 0, 0)  # noqa: E731
+    kernel = _make_stream_resident_kernel(nwin, kahan)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_prefetch,
+        num_scalar_prefetch=nwin + 1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((spt, LANES), idx_map, memory_space=pltpu.VMEM),
@@ -555,7 +540,7 @@ def _stream_body_pallas(a, x_local, left_halo, right_halo, meta):
     #4's compute/communication overlap; the distributed analog of
     ``kernel.cu:150-168`` vs ``169-194``).  Scalar-prefetch maps are
     SHARDED OPERANDS (each device prefetches its own tables)."""
-    (n_tiles_A, n_tiles_B, interpret, W, kahan, rx,
+    (n_tiles_A, n_tiles_B, interpret, W, kahan, nwin,
      has_interior) = meta
     vdt = x_local.dtype
     # Interior windows lie fully inside the local rows and their maps were
@@ -571,31 +556,22 @@ def _stream_body_pallas(a, x_local, left_halo, right_halo, meta):
     x_ext = jnp.concatenate([left_halo, x_local, right_halo, tail])
 
     callB = _stream_call(n_tiles_B, interpret, vdt, n_tiles_A, kahan=kahan,
-                         rx=rx)
-    if rx:
-        yB = callB(a["stream_winB"][0], a["stream_winbB"][0],
-                   a["stream_rstB"][0],
-                   a["ell_col"][0], a["ell_val"][0],
-                   x_ext.reshape(-1, LANES))
-    else:
-        yB = callB(a["stream_winB"][0], a["stream_rstB"][0],
-                   a["ell_col"][0], a["ell_val"][0],
-                   x_ext.reshape(-1, LANES))
+                         nwin=nwin)
+    winsB = [a[f"stream_win{w}B"][0] for w in range(nwin)]
+    yB = callB(*winsB, a["stream_rstB"][0],
+               a["ell_col"][0], a["ell_val"][0],
+               x_ext.reshape(-1, LANES))
     yB2 = jnp.take(yB.reshape(-1, LANES), a["stream_lastB"][0], axis=0)
     if not has_interior:
         # all-boundary (D=1, or EHYB_FORCE_BOUNDARY): no interior call, no
         # second take/mask half of the combine
         return (yB2 * a["stream_maskB"][0][:, None]).reshape(-1)
-    callA = _stream_call(n_tiles_A, interpret, vdt, 0, kahan=kahan, rx=rx)
-    if rx:
-        yA = callA(a["stream_winA"][0], a["stream_winbA"][0],
-                   a["stream_rstA"][0],
-                   a["ell_col"][0], a["ell_val"][0],
-                   x_int.reshape(-1, LANES))
-    else:
-        yA = callA(a["stream_winA"][0], a["stream_rstA"][0],
-                   a["ell_col"][0], a["ell_val"][0],
-                   x_int.reshape(-1, LANES))
+    callA = _stream_call(n_tiles_A, interpret, vdt, 0, kahan=kahan,
+                         nwin=nwin)
+    winsA = [a[f"stream_win{w}A"][0] for w in range(nwin)]
+    yA = callA(*winsA, a["stream_rstA"][0],
+               a["ell_col"][0], a["ell_val"][0],
+               x_int.reshape(-1, LANES))
     yA2 = jnp.take(yA.reshape(-1, LANES), a["stream_lastA"][0], axis=0)
     y = yA2 * a["stream_maskA"][0][:, None] \
         + yB2 * a["stream_maskB"][0][:, None]
@@ -709,17 +685,18 @@ def make_sharded_apply(sh: ShardedEhyb, mesh: jax.sharding.Mesh,
             raise ValueError("pallas_mode requires build_sharded(..., "
                              "stream_maps=True)")
         st = sh.stream
+        for w, (wa, wb) in enumerate(zip(st["winsA"], st["winsB"])):
+            arrays[f"stream_win{w}A"] = to_dev(wa)
+            arrays[f"stream_win{w}B"] = to_dev(wb)
         arrays.update(
-            stream_winA=to_dev(st["winA"]), stream_rstA=to_dev(st["rstA"]),
-            stream_winbA=to_dev(st["winbA"]),
+            stream_rstA=to_dev(st["rstA"]),
             stream_lastA=to_dev(st["lastA"]),
             stream_maskA=to_dev(st["maskA"], cast=True),
-            stream_winB=to_dev(st["winB"]), stream_rstB=to_dev(st["rstB"]),
-            stream_winbB=to_dev(st["winbB"]),
+            stream_rstB=to_dev(st["rstB"]),
             stream_lastB=to_dev(st["lastB"]),
             stream_maskB=to_dev(st["maskB"], cast=True))
         pallas_meta = (st["n_tiles_A"], st["n_tiles_B"],
-                       pallas_mode == "interpret", W, kahan, st["rx"],
+                       pallas_mode == "interpret", W, kahan, st["nwin"],
                        st.get("has_interior", True))
 
     body_nnz = sum(s.get("nnz_ell", 1) for s in sh.stats.get("per_dev", [{}]))
@@ -874,6 +851,31 @@ class ShardedEhybSpmv(SpmvModel):
                     log.info("sharded relaxed body wins: %d → %d ell steps",
                              steps_mw, steps_rx)
                     self.config = cfg = cfg_rx
+        if (cfg.body_layout == "sell_rx" and cfg.relax_body == "auto"
+                and getattr(cfg, "windows_per_subtile", 2) == 2
+                and self._body_mode):
+            # Mirror the single-chip quad upgrade (SPMD-uniform decision).
+            from ..models.ehyb import (_CYC_RX4_VREG, _CYC_RX_VREG,
+                                       _QUAD_WASTE_GATE)
+
+            probe = build_sharded(m_r, self.reordering,
+                                  self.plan.window_rows, self.n_dev, cfg,
+                                  stream_maps=False)
+            per = probe.stats["per_dev"]
+            nnz_ell = sum(s["nnz_ell"] for s in per)
+            waste = sum(s["waste_ell"] for s in per)
+            steps_rx = sum(s["ell_steps"] for s in per)
+            if nnz_ell > 0 and waste > _QUAD_WASTE_GATE * (nnz_ell + waste):
+                cfg4 = dataclasses.replace(cfg, windows_per_subtile=4)
+                probe4 = build_sharded(m_r, self.reordering,
+                                       self.plan.window_rows, self.n_dev,
+                                       cfg4, stream_maps=False)
+                steps4 = sum(s["ell_steps"]
+                             for s in probe4.stats["per_dev"])
+                if steps4 * _CYC_RX4_VREG < steps_rx * _CYC_RX_VREG:
+                    log.info("sharded quad windows win: %d → %d ell steps",
+                             steps_rx, steps4)
+                    self.config = cfg = cfg4
         self.sharded = build_sharded(m_r, self.reordering,
                                      self.plan.window_rows, self.n_dev, cfg,
                                      stream_maps=bool(self._body_mode))

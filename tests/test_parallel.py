@@ -200,7 +200,7 @@ def test_sharded_rx_auto_switch(scrambled, monkeypatch):
     model = ShardedEhybSpmv(EhybConfig(window_rows=1024),
                             mesh=make_mesh(2)).setup(scrambled)
     assert model.config.body_layout == "sell_rx"
-    assert model.sharded.stream["rx"] is True
+    assert model.sharded.stream["nwin"] > 1  # dual or quad windows in-shard
     x = deterministic_x(scrambled.dimension)
     assert rel_error(model.matvec(x), oracle_spmv(scrambled, x)) < 5e-6
 
@@ -268,3 +268,17 @@ print("D16 OK", err)
                        text=True, timeout=420, env=env, cwd=repo)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "D16 OK" in r.stdout
+
+
+def test_sharded_quad_windows(monkeypatch):
+    """Quad (4-window) sub-tiles through the sharded streamed kernels: a
+    random matrix that spreads over many windows upgrades per shard
+    (SPMD-uniform) and validates against the oracle."""
+    m = generate.random_general(8192, 24, seed=3)
+    monkeypatch.setenv("EHYB_FORCE_PALLAS", "interpret")
+    model = ShardedEhybSpmv(EhybConfig(window_rows=1024),
+                            mesh=make_mesh(4)).setup(m)
+    assert model.config.windows_per_subtile == 4
+    assert model.sharded.stream["nwin"] == 4
+    x = deterministic_x(m.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(m, x)) < 5e-6
