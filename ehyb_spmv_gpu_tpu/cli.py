@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "with relax_body auto-switching mw→rx)")
     p.add_argument("--no-relax", action="store_true",
                    help="disable the relaxed-layout (sell_rx) auto-switch")
+    p.add_argument("--windows-per-subtile", type=int, default=None,
+                   choices=[2, 4],
+                   help="relaxed-layout windows per 8-step sub-tile (2 dual, "
+                        "4 quad; default: auto-arbitrated)")
+    p.add_argument("--dword", action="store_true",
+                   help="double-word (f32x2) value precision — the f64 "
+                        "contract on f64-less hardware (ops/dword.py)")
     p.add_argument("--compensated", action="store_true",
                    help="Neumaier-compensated accumulation in the Pallas "
                         "body (f64-grade summation on f32 hardware)")
@@ -127,6 +134,7 @@ def main(argv=None) -> int:
         artifact_cache=args.cache,
         relax_body="never" if args.no_relax else "auto",
         compensated_sum=bool(args.compensated),
+        dword_values=bool(args.dword),
         features=Features(reorder=not args.no_reorder,
                           sort_rows=not args.no_sort,
                           dia=not args.no_dia),
@@ -135,6 +143,10 @@ def main(argv=None) -> int:
         import dataclasses as _dc
 
         cfg = _dc.replace(cfg, body_layout=args.layout)
+    if args.windows_per_subtile:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, windows_per_subtile=args.windows_per_subtile)
     if args.model not in ehyb.MODELS:
         print(f"error: unknown model {args.model!r}", file=sys.stderr)
         return 2
