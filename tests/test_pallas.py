@@ -563,3 +563,33 @@ def test_hbm_big_kahan(monkeypatch):
                                     artifact_cache=False)).setup(m)
     y_c = comp.matvec(np.ones(m.dimension))
     assert abs(y_c[0] - 100.0) <= 1e-8 * 100.0, y_c[0]
+
+
+def test_hbm_cache_plan_quad_invariants(scrambled):
+    """Quad layout through the cache plan: second packed word carries
+    slots c/d; replay validates every sub-tile's 4 windows."""
+    from ehyb_spmv_gpu_tpu.ops.ehyb_pallas import (
+        STREAM_SUBTILES, _SLOT_BITS, build_hbm_cache_plan, build_stream_maps)
+
+    e, _ = build_rx4(scrambled)
+    sub_wins, _, reset, _, n_tiles = build_stream_maps(e)
+    assert len(sub_wins) == 4
+    packed, off, cnt, src, dst, kmax0, kmax, n_loads = build_hbm_cache_plan(
+        sub_wins, reset, n_tiles)
+    assert len(packed) == 2
+    S = STREAM_SUBTILES
+    mask = (1 << _SLOT_BITS) - 1
+    slot_win = {}
+    li = 0
+    for t in range(n_tiles):
+        for _ in range(int(cnt[t])):
+            slot_win[int(dst[li])] = int(src[li])
+            li += 1
+        for i in range(S):
+            v0 = int(packed[0][t * S + i])
+            v1 = int(packed[1][t * S + i])
+            slots = [v0 & mask, (v0 >> _SLOT_BITS) & mask,
+                     v1 & mask, (v1 >> _SLOT_BITS) & mask]
+            for w, s in zip(sub_wins, slots):
+                assert slot_win[s] == int(w[t * S + i])
+    assert li == n_loads
