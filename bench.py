@@ -32,6 +32,39 @@ def log(*a):
 RESULT_TAG = "BENCH_RESULT "
 
 
+def cached_oracle(m, x):
+    """f64 oracle y, disk-cached by matrix fingerprint.
+
+    The exact-f64 oracle on an 84M-nnz matrix costs 1-4 min of scipy-free
+    segment sums; every sweep child was re-paying it (the sweep's dominant
+    cost at scale).  The matrix is already fingerprint-keyed for artifact
+    caching — the oracle rides the same key.  x is the deterministic LCG
+    vector, part of the protocol, so it needs no key of its own.
+    """
+    import numpy as np
+
+    from ehyb_spmv_gpu_tpu.core.cache import DEFAULT_CACHE_DIR, \
+        matrix_fingerprint
+    from ehyb_spmv_gpu_tpu.core.coo import oracle_spmv
+
+    path = os.path.join(DEFAULT_CACHE_DIR,
+                        f"{matrix_fingerprint(m)}-oracle.npy")
+    if os.path.exists(path):
+        y = np.load(path)
+        if y.shape[0] == m.n_rows:
+            log(f"oracle cache hit: {path}")
+            return y
+    y = oracle_spmv(m, x)
+    try:
+        os.makedirs(DEFAULT_CACHE_DIR, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}.npy"
+        np.save(tmp, y)
+        os.replace(tmp, path)
+    except OSError as exc:
+        log(f"oracle cache write failed: {exc}")
+    return y
+
+
 def run_model(model_name: str, matrix_name: str, iters: int) -> int:
     """Child mode: benchmark one model, print RESULT_TAG + json to stdout."""
     import jax
@@ -42,7 +75,7 @@ def run_model(model_name: str, matrix_name: str, iters: int) -> int:
 
     import ehyb_spmv_gpu_tpu as ehyb
     from ehyb_spmv_gpu_tpu.config import EhybConfig
-    from ehyb_spmv_gpu_tpu.core.coo import deterministic_x, oracle_spmv
+    from ehyb_spmv_gpu_tpu.core.coo import deterministic_x
     from ehyb_spmv_gpu_tpu.io import generate
     from ehyb_spmv_gpu_tpu.utils.timing import bench_apply, spmv_bytes_model
     from ehyb_spmv_gpu_tpu.utils.validate import rel_error
@@ -50,7 +83,7 @@ def run_model(model_name: str, matrix_name: str, iters: int) -> int:
     log(f"[{model_name}] backend={jax.default_backend()} matrix={matrix_name}")
     m = generate.load_corpus(matrix_name)
     x = deterministic_x(m.dimension)
-    want = oracle_spmv(m, x)
+    want = cached_oracle(m, x)
 
     cfg = EhybConfig(artifact_cache=True)
     model = ehyb.MODELS[model_name](cfg).setup(m)

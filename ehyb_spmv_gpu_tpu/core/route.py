@@ -1,0 +1,424 @@
+"""Product-routing engine for the gather-wall regime (fully unstructured
+matrices, e.g. 1M rows x 16 random nnz/row).
+
+Why it exists: the SELL body's (slice, window) grouping collapses on matrices
+with no recoverable structure — per-(128-row slice, 1024-col window) groups
+hold ~2 entries, so the relaxed body runs at ~99% padding, and the only
+alternative was the measured ~14 cyc/element XLA gather (the "gather wall").
+The reference GPU kernel survives this regime because its phase-2 ER loop
+does hardware global-memory gathers at near-full DRAM bandwidth
+(``/root/reference/kernel.cu:169-194``); the TPU has no hardware gather from
+HBM, so the movement is *routed* through structured stages instead:
+
+  stage A   products in COLUMN-grouped order: every (8,128) vreg of entries
+            shares one 1024-element x window, so the proven two-stage VPU
+            gather runs at high lane fill (the column view of a random
+            matrix is dense even though the row view is not);
+  stage T   one static 4D transpose (XLA, HBM bandwidth): products move from
+            (window, stripe, band) order to (band, window, stripe) order —
+            after which every band's products are CONTIGUOUS;
+  stage B   per-band-group gather + reset-cumulative row reduction: each dst
+            vreg pulls its sources from its band's (n_win*P)-element group,
+            VMEM-served via a select chain over <=16 sub-windows, and rows
+            reduce in-lane exactly like the streamed SELL body.
+
+Placement freedoms make both gathers feasible:
+
+  * stage A: an entry of matrix cell (window w, band rb) may occupy any of
+    the P "stripe" slots of its cell; the P slots are STRIDED across the
+    window's step stream, one per stripe, so they land in P different
+    (8,128) steps — the per-step lo->hi consistency condition of the
+    two-stage gather then becomes *exactly* the relaxed packer's election
+    problem (:func:`~.convert._pack_steps_relaxed`), reused verbatim with
+    pair=(window, band-row), lane=band%%128, slot=lo, class=hi.
+  * stage B: a row's products may be consumed in any order across the row's
+    dst steps — the same packer runs again with pair=dst-slice,
+    lane=dst-row%%128, slot=the product's lane inside the band group,
+    class=(sel, sublane).
+
+Entries that lose both games (cell overflow past P, or unresolvable slot
+conflicts) SPILL to a small XLA gather tail, like the ER tail of the main
+format.  Reference parity: this subsumes the reference's ER phase for the
+unstructured regime (``kernel.cu:169-194``) with a TPU-native mechanism.
+
+Scale limit (enforced): the stage-B select chain is bounded at 16
+sub-windows, so n_win * P <= 16384 — with the Poisson slack P >= 2*mu that
+means dim <= ~2M columns at 16 nnz/row.  Beyond that a second transpose
+level (the same trick applied hierarchically) would be needed; the corpus'
+adversarial entry (random_1m) sits inside the limit.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import LANES, cdiv, round_up
+from ..core.coo import MatrixCOO
+from ..utils.log import get_logger
+
+log = get_logger(__name__)
+
+#: Width-steps per sub-tile (one (8,128) f32 vreg of entries).
+TS = 8
+#: x window served per stage-A sub-tile (1024 x elements = 8 sublane rows).
+WIN = 1024
+#: Hard bound on the stage-B select chain (sel field = 4 bits of the int16).
+MAX_CHAIN = 16
+#: Sub-tiles per grid step for both stage kernels (amortizes the measured
+#: ~240 ns flat per-grid-step cost of streamed Pallas bodies).
+S_A = 32
+S_B = 32
+#: Max bands per stage-B block (VMEM: bands_per_block * n_win*P * 4 B).
+MAX_BANDS_PER_BLOCK = 6
+
+
+def _round_up_arr(a: np.ndarray, m: int) -> np.ndarray:
+    return -(-a // m) * m
+
+
+@dataclasses.dataclass
+class RoutedMatrix:
+    """Host-side routed format + static schedules (device dict via to_jax)."""
+
+    dim: int
+    n_win: int           # 1024-col x windows
+    P: int               # stripe slots per (window, band) cell
+    R: int               # rows per band
+    n_bands: int
+    n_bg: int            # band rows of the A layout = ceil(n_bands / 128)
+    bands_per_block: int  # stage-B block covers this many consecutive bands
+    # stage A (gather-multiply)
+    a_col: np.ndarray    # int16 (hi<<7)|lo, slot-attr layout [a_steps_pad,128]
+    a_val: np.ndarray    # f32 same shape
+    a_win: np.ndarray    # int32 [a_subtiles] x2d window row (= window * 8)
+    a_real_steps: int    # steps that participate in the transpose
+    # stage B (route + reduce)
+    b_idx: np.ndarray    # int16 (mask<<14)|(sel<<10)|(srow<<7)|lane
+    b_gmap: np.ndarray   # int32 [b_grid] band-group of each grid step
+    b_boff: np.ndarray   # int32 [b_subtiles] sublane-row offset of the
+    #                      sub-tile's band inside its block (multiple of gr)
+    b_reset: np.ndarray  # int32 [b_subtiles] 1 = dst slice starts here
+    b_last: np.ndarray   # int32 [n_dst_slices] sub-tile holding the slice sum
+    # spill tail (XLA gather) + dst permutation
+    sp_dst: np.ndarray   # int32 dst-space row of each spilled entry
+    sp_col: np.ndarray   # int32 global column
+    sp_val: np.ndarray   # f32
+    dst_rows: np.ndarray  # int32 [n_dst_rows] orig row at each dst position
+    stats: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+    @property
+    def group_rows(self) -> int:
+        """(…,128)-rows of one band's contiguous T group."""
+        return self.n_win * self.P // LANES
+
+    @property
+    def chain(self) -> int:
+        return self.n_win * self.P // WIN
+
+    @property
+    def padded_x_rows(self) -> int:
+        return self.n_win * WIN
+
+    @property
+    def n_dst_rows(self) -> int:
+        return self.n_bands * self.R
+
+    def to_jax(self, dtype="float32"):
+        import jax.numpy as jnp
+
+        return {
+            "a_col": jnp.asarray(self.a_col),
+            "a_val": jnp.asarray(self.a_val, dtype=dtype),
+            "b_idx": jnp.asarray(self.b_idx),
+            "sp_dst": jnp.asarray(self.sp_dst),
+            "sp_col": jnp.asarray(self.sp_col),
+            "sp_val": jnp.asarray(self.sp_val, dtype=dtype),
+        }
+
+
+def _choose_params(dim: int, nnz: int, R: Optional[int], P: Optional[int]):
+    """Pick (R rows/band, P stripes): cell occupancy mu = R*(nnz/dim)/n_win
+    wants ~P/2 Poisson slack against cell overflow, under the chain bound
+    n_win*P <= 16*1024 and the alignment constraints (P*n_bg % 8 == 0 via
+    P % 8 == 0; n_win*P % WIN == 0, satisfied by rounding n_win UP — the
+    padded windows carry no entries, only ~(pad/n_win) wasted A steps).
+
+    chain ≈ 2·R·(nnz/dim)/WIN is dim-independent, so when the caller pins
+    neither R nor P we walk R down from 512 by 128s until the chain fits —
+    at R=128 that supports up to ~64 nnz/row before the single-level router
+    gives up."""
+    n_win0 = cdiv(dim, WIN)
+    r_candidates = ([R] if R is not None
+                    else [512, 384, 256, LANES])
+    last_err = None
+    for r in r_candidates:
+        r = max(LANES, round_up(r, LANES))
+        if P is None:
+            mu = r * (nnz / max(dim, 1)) / n_win0
+            p = round_up(int(np.ceil(2.0 * max(mu, 1.0))), 8)
+        else:
+            p = round_up(max(P, 8), 8)
+        # n_win*P must be a whole number of 1024-element B sub-windows
+        # (stage-T/B group tiling granularity).  Two ways to get there:
+        # pad the window count up to the q-multiple, or pad P up to a
+        # multiple of WIN/gcd(n_win0, WIN).  Which is cheaper depends on
+        # the geometry (small-dim matrices have tiny n_win0, where padding
+        # it 16x explodes the chain but padding P is nearly free) — take
+        # the candidate with the smaller chain.
+        q = WIN // int(np.gcd(p, WIN))
+        cand = [(round_up(n_win0, q), p)]
+        pq = WIN // int(np.gcd(n_win0, WIN))
+        cand.append((n_win0, round_up(p, pq)))
+        n_win, p = min(cand, key=lambda t: t[0] * t[1])
+        chain = n_win * p // WIN
+        if chain <= MAX_CHAIN:
+            return n_win, r, p
+        last_err = (f"R={r} P={p} n_win={n_win} -> chain={chain} "
+                    f"(cap {MAX_CHAIN})")
+    raise ValueError(
+        f"routed format infeasible: {last_err}; matrix too dense for the "
+        f"single-level router (needs nnz/dim <~ {MAX_CHAIN * WIN // 256})")
+
+
+#: Stage-B step budget per dst slice (the colorer's single-uint64 mask width;
+#: also bounds the widths and so the idx stream size).
+MAX_COLORS = 64
+
+
+def _assign_steps_b(dslice: np.ndarray, dlane: np.ndarray,
+                    b_lane: np.ndarray, hcls_b: np.ndarray,
+                    n_dst_slices: int) -> np.ndarray:
+    """Stage-B step per entry via bipartite edge coloring; -1 = spill.
+
+    Processing order: heaviest endpoint first (max of the entry's dst-lane
+    and source-lane loads, descending) — the classic largest-first heuristic,
+    which colors the Δ-load vertices' edges before the masks fragment.
+    """
+    lload = np.zeros((n_dst_slices, LANES), dtype=np.int32)
+    np.add.at(lload, (dslice, dlane), 1)
+    sload = np.zeros((n_dst_slices, LANES), dtype=np.int32)
+    np.add.at(sload, (dslice, b_lane), 1)
+    key = np.maximum(lload[dslice, dlane], sload[dslice, b_lane])
+    order = np.argsort(-key, kind="stable")
+    try:
+        from ..native import color_edges_native
+
+        return color_edges_native(dslice, dlane, b_lane, order,
+                                  n_dst_slices, MAX_COLORS).astype(np.int64)
+    except Exception as exc:                  # pragma: no cover - no g++
+        log.warning("native edge colorer unavailable (%s); falling back to "
+                    "the round election (more spill)", exc)
+        from .convert import _pack_steps_relaxed
+
+        hkey = (b_lane - dlane) % LANES       # stagger candidate slots
+        hint = np.lexsort((hkey, dslice))
+        rank = np.empty(hint.shape[0], dtype=np.int64)
+        rank[hint] = np.arange(hint.shape[0])
+        step = _pack_steps_relaxed(dslice, dlane, b_lane, hcls_b,
+                                   order_hint=rank, ncls=LANES)
+        return np.where(step < MAX_COLORS, step, -1)
+
+
+def build_routed(m: MatrixCOO, R: Optional[int] = None,
+                 P: Optional[int] = None) -> RoutedMatrix:
+    """Build the routed format + static schedules from an (un-reordered) COO
+    matrix.  Entries that overflow their stage-A cell (past P) or exhaust the
+    stage-B step budget (MAX_COLORS) spill to the XLA tail.
+    """
+    from .convert import _pack_steps_relaxed
+
+    dim = m.dimension
+    n_win, R, P = _choose_params(dim, m.nnz, R, P)
+    n_bands = cdiv(round_up(dim, LANES), R)
+    n_bg = cdiv(n_bands, LANES)
+    gr = n_win * P // LANES          # sublane rows per band group
+
+    row = m.row.astype(np.int64)
+    col = m.col.astype(np.int64)
+    val = np.asarray(m.val)
+    band = row // R
+    bg = band // LANES
+    blane = band % LANES
+    w = col // WIN
+    hi = (col % WIN) // LANES
+    lo = col % LANES
+
+    # ---- stage A packing: pair=(w, bg), lane=blane, slot=lo, class=hi ----
+    pair_a = w * n_bg + bg
+    ckey = (pair_a * LANES + lo) * 8 + hi
+    _, cinv, ccnt = np.unique(ckey, return_inverse=True, return_counts=True)
+    hint = np.lexsort((ckey, -ccnt[cinv], pair_a))
+    hint_rank = np.empty(hint.shape[0], dtype=np.int64)
+    hint_rank[hint] = np.arange(hint.shape[0])
+    step_a = _pack_steps_relaxed(pair_a, blane, lo, hi,
+                                 order_hint=hint_rank, ncls=8)
+    # lane == band here, so step_a IS the entry's stripe within its cell;
+    # stripes past P overflow the cell -> spill
+    kept = step_a < P
+    n_spill_a = int((~kept).sum())
+
+    # ---- stage A scatter: step index = (w*P + p)*n_bg + bg ---------------
+    a_real_steps = n_win * P * n_bg
+    a_steps_pad = round_up(a_real_steps, S_A * TS)
+    a_col = np.zeros((a_steps_pad, LANES), dtype=np.int16)
+    a_val = np.zeros((a_steps_pad, LANES), dtype=np.float32)
+    ks, kw, kbg, kbl = step_a[kept], w[kept], bg[kept], blane[kept]
+    khi, klo = hi[kept], lo[kept]
+    # Scramble stripe labels with a per-window random permutation: the greedy
+    # election concentrates entries in LOW stripes, and stage B's source lane
+    # is flat_g % 128 with flat_g = w*P + stripe — a skewed stripe histogram
+    # becomes a skewed slot histogram and the B election then loses ~2/3 of
+    # its per-round throughput to slot collisions (measured: 45 rounds for a
+    # 24-step budget).  Relabeling whole (w, stripe) step groups is free —
+    # both sides derive their address from the same flat position.
+    sperm = np.argsort(
+        np.random.default_rng(0xE4B).random((n_win, P)), axis=1)
+    ks = sperm[kw, ks]
+    sidx = (kw * P + ks) * n_bg + kbg
+    flat_slot = sidx * LANES + klo
+    flat_lane = sidx * LANES + kbl
+    ca = a_col.reshape(-1)
+    ca[flat_slot] = (khi << 7).astype(np.int16)
+    np.bitwise_or.at(ca, flat_lane, klo.astype(np.int16))
+    a_val.reshape(-1)[flat_lane] = val[kept].astype(np.float32)
+    # per-sub-tile window rows (P % 8 == 0 so P*n_bg steps per window are
+    # sub-tile aligned; padding tail sub-tiles read window 0 with val 0)
+    a_win = np.zeros(a_steps_pad // TS, dtype=np.int32)
+    a_win[: a_real_steps // TS] = np.repeat(
+        np.arange(n_win, dtype=np.int32), P * n_bg // TS) * (WIN // LANES)
+
+    # ---- dst row order: density sort within each band --------------------
+    n_dst_rows = n_bands * R
+    counts = np.bincount(row[kept], minlength=n_dst_rows).astype(np.int64)
+    order_in_band = np.argsort(
+        (np.arange(n_dst_rows, dtype=np.int64) // R) * (counts.max() + 2)
+        - counts, kind="stable")               # band-major, count desc
+    dst_rows = order_in_band.astype(np.int32)  # dst position -> orig row
+    dst_of_row = np.empty(n_dst_rows, dtype=np.int64)
+    dst_of_row[order_in_band] = np.arange(n_dst_rows)
+
+    # ---- stage B packing: pair=dst slice, lane=dst row, slot=product lane.
+    # Every (slot, class) pair is unique (it names one stage-A cell), so the
+    # feasibility condition degenerates to "per (slice, step): each dst lane
+    # and each source lane at most once" — proper bipartite edge coloring.
+    # König guarantees Δ = max(lane load, slot load) steps suffice; the
+    # native lowest-free-color greedy lands within ~1 of Δ where the
+    # vectorized round election plateaued at ~1.5Δ (13% spill).
+    kr = row[kept]
+    dst = dst_of_row[kr]
+    dslice = dst // LANES
+    dlane = dst % LANES
+    n_dst_slices = n_dst_rows // LANES
+    flat_g = kw * P + ks                      # address inside the band group
+    b_sel = flat_g // WIN
+    b_srow = (flat_g % WIN) // LANES
+    b_lane = flat_g % LANES
+    step_b = _assign_steps_b(dslice, dlane, b_lane, b_sel * TS + b_srow,
+                             n_dst_slices)
+    kept_b = step_b >= 0
+    n_spill_b = int((~kept_b).sum())
+    # slice widths FROM the coloring (multiples of 8; >=8 even when empty so
+    # every slice owns a sub-tile for its y row)
+    mxc = np.full(n_dst_slices, 0, dtype=np.int64)
+    np.maximum.at(mxc, dslice[kept_b], step_b[kept_b] + 1)
+    widths = np.maximum(_round_up_arr(mxc, TS), TS)
+
+    # ---- dst step layout: bands -> fixed-size band groups ---------------
+    slices_per_band = R // LANES
+    wb = widths.reshape(n_bands, slices_per_band)
+    band_steps = wb.sum(axis=1)               # multiples of 8
+    c = int(max(1, min(MAX_BANDS_PER_BLOCK,
+                       (S_B * TS) // max(1, int(np.median(band_steps))))))
+    n_groups = cdiv(n_bands, c)
+    grp_of_band = np.arange(n_bands) // c
+    grp_steps = np.zeros(n_groups, dtype=np.int64)
+    np.add.at(grp_steps, grp_of_band, band_steps)
+    grp_steps_pad = _round_up_arr(grp_steps, S_B * TS)
+    grp_base = np.concatenate([[0], np.cumsum(grp_steps_pad)[:-1]])
+    # band base inside its group
+    within_g = np.zeros(n_bands, dtype=np.int64)
+    for_first = np.flatnonzero(np.r_[True, grp_of_band[1:]
+                                     != grp_of_band[:-1]])
+    cum_b = np.cumsum(band_steps) - band_steps
+    within_g = cum_b - np.repeat(cum_b[for_first],
+                                 np.diff(np.append(for_first, n_bands)))
+    band_base = grp_base[grp_of_band] + within_g
+    within_b = np.cumsum(wb, axis=1) - wb
+    slice_base = (band_base[:, None] + within_b).reshape(-1)
+
+    b_steps_pad = int(grp_steps_pad.sum())
+    b_idx = np.full((b_steps_pad, LANES), 1 << 14, dtype=np.int16)
+    kk = kept_b
+    dstep = slice_base[dslice[kk]] + step_b[kk]
+    fl_slot = dstep * LANES + b_lane[kk]
+    fl_lane = dstep * LANES + dlane[kk]
+    bi = b_idx.reshape(-1)
+    bi[fl_lane] = 0
+    np.bitwise_or.at(
+        bi, fl_slot,
+        ((b_sel[kk] << 10) | (b_srow[kk] << 7)).astype(np.int16))
+    np.bitwise_or.at(bi, fl_lane, b_lane[kk].astype(np.int16))
+
+    # ---- per-sub-tile maps ----------------------------------------------
+    n_bsub = b_steps_pad // TS
+    step_band = np.full(b_steps_pad, -1, dtype=np.int64)
+    band_spans = np.repeat(np.arange(n_bands), band_steps)
+    pos = np.concatenate([
+        np.arange(int(b0), int(b0) + int(bs))
+        for b0, bs in zip(band_base, band_steps)]) \
+        if n_bands else np.zeros(0, dtype=np.int64)
+    step_band[pos] = band_spans
+    step_slice = np.full(b_steps_pad, -1, dtype=np.int64)
+    step_slice[pos] = np.repeat(np.arange(n_dst_slices), widths)
+    sub_band = step_band.reshape(-1, TS)[:, 0]
+    assert np.all((step_band.reshape(-1, TS) == sub_band[:, None])
+                  | (step_band.reshape(-1, TS) < 0)), \
+        "dst sub-tile straddles a band"
+    # padding sub-tiles: attribute to the group's first band (mask rows)
+    b_grid = b_steps_pad // (S_B * TS)
+    sub_grp = np.repeat(np.arange(b_grid), S_B)
+    step_grp = np.searchsorted(grp_base, np.arange(b_steps_pad),
+                               side="right") - 1
+    sub_grp = step_grp.reshape(-1, TS)[:, 0]
+    sub_band = np.where(sub_band < 0, sub_grp * c, sub_band)
+    b_gmap = sub_grp.reshape(b_grid, S_B)[:, 0].astype(np.int32)
+    b_boff = ((sub_band - b_gmap.repeat(S_B) * c) * gr).astype(np.int32)
+    assert b_boff.min(initial=0) >= 0 \
+        and b_boff.max(initial=0) <= (c - 1) * gr, "boff out of block"
+    sub_slice = step_slice.reshape(-1, TS)[:, 0]
+    b_reset = np.zeros(n_bsub, dtype=np.int32)
+    b_reset[0] = 1
+    b_reset[1:] = sub_slice[1:] != sub_slice[:-1]
+    b_last = ((slice_base + widths) // TS - 1).astype(np.int32)
+
+    # ---- spill tail ------------------------------------------------------
+    sp_rows = np.concatenate([row[~kept], kr[~kept_b]])
+    sp_cols = np.concatenate([col[~kept], col[kept][~kept_b]])
+    sp_vals = np.concatenate([val[~kept], val[kept][~kept_b]])
+    sp_dst = dst_of_row[sp_rows].astype(np.int32)
+
+    stats = {
+        "nnz": m.nnz,
+        "nnz_routed": int(kept_b.sum()),
+        "nnz_spill": int(sp_rows.shape[0]),
+        "spill_a": n_spill_a,
+        "spill_b": n_spill_b,
+        "a_steps": a_real_steps,
+        "a_fill": float(kept.sum() / max(a_real_steps * LANES, 1)),
+        "b_steps": b_steps_pad,
+        "b_fill": float(kept_b.sum() / max(b_steps_pad * LANES, 1)),
+        "chain": n_win * P // WIN,
+        "P": P, "R": R, "n_win": n_win, "n_bands": n_bands,
+        "bands_per_block": c,
+    }
+    log.info("routed format: %s", {k: (round(v, 4) if isinstance(v, float)
+                                       else v) for k, v in stats.items()})
+    return RoutedMatrix(
+        dim=dim, n_win=n_win, P=P, R=R, n_bands=n_bands, n_bg=n_bg,
+        bands_per_block=c,
+        a_col=a_col, a_val=a_val, a_win=a_win, a_real_steps=a_real_steps,
+        b_idx=b_idx, b_gmap=b_gmap, b_boff=b_boff, b_reset=b_reset,
+        b_last=b_last, sp_dst=sp_dst, sp_col=sp_cols.astype(np.int32),
+        sp_val=sp_vals.astype(np.float32), dst_rows=dst_rows, stats=stats)

@@ -88,6 +88,57 @@ def kway_partition_native(xadj: np.ndarray, adjncy: np.ndarray, n_parts: int,
 
 
 # ---------------------------------------------------------------------------
+# Native bipartite edge colorer (routing engine stage-B; see routecolor.cpp).
+# ---------------------------------------------------------------------------
+
+_colorlib = None
+
+
+def _load_color():
+    global _colorlib
+    if _colorlib is not None:
+        return _colorlib
+    path = _compile(os.path.join(_HERE, "routecolor.cpp"),
+                    os.path.join(_HERE, "libehybroute.so"))
+    lib = ctypes.CDLL(path)
+    lib.ehyb_color_edges.restype = ctypes.c_longlong
+    lib.ehyb_color_edges.argtypes = [
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # pair
+        np.ctypeslib.ndpointer(np.int16, flags="C"),     # lane
+        np.ctypeslib.ndpointer(np.int16, flags="C"),     # slot
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # order
+        ctypes.c_int,                                    # n_pairs
+        ctypes.c_int,                                    # max_colors
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # out: color
+    ]
+    _colorlib = lib
+    return lib
+
+
+def color_edges_native(pair: np.ndarray, lane: np.ndarray, slot: np.ndarray,
+                       order: np.ndarray, n_pairs: int,
+                       max_colors: int = 64) -> np.ndarray:
+    """Greedy lowest-free-color bipartite edge coloring (see routecolor.cpp).
+
+    Returns int32 colors per edge; -1 marks spilled edges (no free color
+    under ``max_colors`` at both endpoints).
+    """
+    lib = _load_color()
+    n = pair.shape[0]
+    pair = np.ascontiguousarray(pair, dtype=np.int32)
+    lane = np.ascontiguousarray(lane, dtype=np.int16)
+    slot = np.ascontiguousarray(slot, dtype=np.int16)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    out = np.empty(n, dtype=np.int32)
+    spilled = lib.ehyb_color_edges(n, pair, lane, slot, order,
+                                   int(n_pairs), int(max_colors), out)
+    if spilled < 0:
+        raise RuntimeError(f"native edge colorer failed (code {spilled})")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Native mtx entry parser (data-loader; see mtxparse.cpp).
 # ---------------------------------------------------------------------------
 

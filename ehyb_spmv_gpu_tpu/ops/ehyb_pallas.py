@@ -236,8 +236,9 @@ _sell_body_kernel_stream_rx4_kahan = _make_stream_resident_kernel(4, True)
 #: 320 slots x (8,128) f32 = 1.25 MB of VMEM — large enough that two
 #: consecutive grid steps' window sets (<= 4*STREAM_SUBTILES each for quad
 #: sub-tiles) always fit with eviction headroom, small next to the 2x192 KB
-#: col/val double buffers.
-NSLOT = 320
+#: col/val double buffers.  Env-overridable (max 512 = the slot-id bit
+#: budget) for STREAM_SUBTILES experiments whose working sets need more.
+NSLOT = min(512, int(__import__("os").environ.get("EHYB_NSLOT", "320")))
 _SLOT_BITS = 9  # slot ids in the packed per-sub-tile word (caps NSLOT at 512)
 
 

@@ -1,0 +1,203 @@
+"""Pallas kernels for the product-routing engine (see core/route.py).
+
+Stage A: gather-multiply.  One grid step = S_A (8,128) sub-tiles; each
+sub-tile serves ONE 1024-element x window (scalar-prefetched window row,
+x VMEM-resident) through the proven two-stage ``tpu.dynamic_gather`` and
+emits raw products — no reduction, the full (8,128) block is the output.
+
+Stage T: a static XLA transpose (window, stripe, band) -> (band, ...) done
+in the apply (jnp.transpose — HBM-bandwidth data movement, no kernel).
+
+Stage B: route + reduce.  One grid step = S_B sub-tiles, all inside one
+band GROUP whose transposed products are BlockSpec-streamed into VMEM
+(``bands_per_block`` bands x n_win*P f32).  Each lane decodes
+``(mask, sel, srow, lane)`` from the packed int16; a select chain over the
+``chain`` (8,128) sub-windows at the sub-tile's band offset resolves the
+sublane pick (the same relaxed two-stage-gather feasibility the SELL body
+uses), and rows accumulate in-lane with the reset-cumulative scratch of the
+streamed SELL kernels.
+
+Reference parity: this is the TPU mechanism replacing the reference's
+uncached phase-2 global gathers (``kernel.cu:169-194``) for matrices where
+window caching has nothing to cache.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import LANES
+from ..core.route import RoutedMatrix, S_A, S_B, TS, WIN
+from ..utils.log import get_logger
+
+log = get_logger(__name__)
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _route_a_kernel(win_ref, col_ref, val_ref, x_ref, y_ref):
+    """Raw-product emit: y[s, l] = val[s, l] * x_window[hi[s, lo], lo]."""
+    t = pl.program_id(0)
+    for i in range(S_A):
+        win = x_ref[pl.ds(win_ref[t * S_A + i], TS), :]
+        idx = col_ref[i * TS:(i + 1) * TS, :].astype(jnp.int32)
+        hi = jax.lax.shift_right_logical(idx, 7)
+        lo = jax.lax.bitwise_and(idx, 127)
+        rows = jnp.take_along_axis(win, hi, axis=0)
+        g = jnp.take_along_axis(rows, lo, axis=1)
+        y_ref[i * TS:(i + 1) * TS, :] = \
+            val_ref[i * TS:(i + 1) * TS, :] * g
+
+
+def _make_route_b_kernel(chain: int):
+    """Gather from the band-group block via a ``chain``-way select over
+    (8,128) sub-windows at the sub-tile's dynamic band offset, then
+    reset-cumulative in-lane reduction (dst slices of 128 rows)."""
+
+    def kernel(gmap_ref, boff_ref, reset_ref, idx_ref, blk_ref, y_ref,
+               acc_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for i in range(S_B):
+            k = t * S_B + i
+            off = boff_ref[k]
+            iv = idx_ref[i * TS:(i + 1) * TS, :].astype(jnp.int32)
+            sel = jax.lax.bitwise_and(jax.lax.shift_right_logical(iv, 10), 15)
+            srow = jax.lax.bitwise_and(jax.lax.shift_right_logical(iv, 7), 7)
+            lane = jax.lax.bitwise_and(iv, 127)
+            msk = jax.lax.shift_right_logical(iv, 14)
+            rows = jnp.take_along_axis(blk_ref[pl.ds(off, TS), :], srow,
+                                       axis=0)
+            for j in range(1, chain):
+                rows = jnp.where(
+                    sel == j,
+                    jnp.take_along_axis(blk_ref[pl.ds(off + j * TS, TS), :],
+                                        srow, axis=0),
+                    rows)
+            g = jnp.take_along_axis(rows, lane, axis=1)
+            g = jnp.where(msk == 1, 0.0, g)
+            keep = (reset_ref[k] == 0).astype(g.dtype)
+            acc = jnp.sum(g, axis=0) + acc_ref[0] * keep
+            acc_ref[0] = acc
+            y_ref[0, i, :] = acc
+
+    return kernel
+
+
+def make_routed_apply(rm: RoutedMatrix, dtype="float32",
+                      interpret: bool = False) -> Callable:
+    """Build ``apply(dev, x_pad) -> y_dst`` (dst-ordered, padded rows).
+
+    ``dev`` is the dict from :meth:`RoutedMatrix.to_jax`; ``x_pad`` is the
+    f32 input padded to ``rm.padded_x_rows`` (NOT permuted — the routed
+    format consumes original column space).
+    """
+    vdt = np.dtype(dtype)
+    if vdt != np.float32:
+        raise ValueError("routed path is f32-only (MVP)")
+    n_win, P, n_bg = rm.n_win, rm.P, rm.n_bg
+    gr = rm.group_rows
+    chain = rm.chain
+    c = rm.bands_per_block
+    a_steps_pad = rm.a_col.shape[0]
+    a_tiles = a_steps_pad // (S_A * TS)
+    b_steps_pad = rm.b_idx.shape[0]
+    b_tiles = b_steps_pad // (S_B * TS)
+    x_rows = rm.padded_x_rows // LANES
+    a_win = jnp.asarray(rm.a_win)
+    b_gmap = jnp.asarray(rm.b_gmap)
+    b_boff = jnp.asarray(rm.b_boff)
+    b_reset = jnp.asarray(rm.b_reset)
+    b_last = jnp.asarray(rm.b_last)
+
+    spt_a = S_A * TS
+    a_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(a_tiles,),
+        in_specs=[
+            pl.BlockSpec((spt_a, LANES), lambda t, w: (t, 0),
+                         memory_space=pltpu.VMEM),   # col
+            pl.BlockSpec((spt_a, LANES), lambda t, w: (t, 0),
+                         memory_space=pltpu.VMEM),   # val
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
+        ],
+        out_specs=pl.BlockSpec((spt_a, LANES), lambda t, w: (t, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    a_cost = pl.CostEstimate(
+        flops=2 * int(rm.stats.get("nnz_routed", 1)),
+        bytes_accessed=int(a_steps_pad * LANES * 10),
+        transcendentals=0)
+    a_call = pl.pallas_call(
+        _route_a_kernel, grid_spec=a_grid,
+        out_shape=jax.ShapeDtypeStruct((a_steps_pad, LANES), jnp.float32),
+        cost_estimate=a_cost, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
+
+    spt_b = S_B * TS
+    b_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b_tiles,),
+        in_specs=[
+            pl.BlockSpec((spt_b, LANES), lambda t, g, o, r: (t, 0),
+                         memory_space=pltpu.VMEM),   # idx
+            pl.BlockSpec((c * gr, LANES), lambda t, g, o, r: (g[t], 0),
+                         memory_space=pltpu.VMEM),   # T block (band group)
+        ],
+        out_specs=pl.BlockSpec((1, S_B, LANES), lambda t, g, o, r: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.float32)],
+    )
+    b_cost = pl.CostEstimate(
+        flops=int(rm.stats.get("nnz_routed", 1)),
+        bytes_accessed=int(b_steps_pad * LANES * 6
+                           + b_tiles * c * gr * LANES * 4),
+        transcendentals=0)
+    b_call = pl.pallas_call(
+        _make_route_b_kernel(chain), grid_spec=b_grid,
+        out_shape=jax.ShapeDtypeStruct((b_tiles, S_B, LANES), jnp.float32),
+        cost_estimate=b_cost, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
+
+    real = rm.a_real_steps
+    n_groups = int(np.ceil(rm.n_bands / c))
+
+    def apply(dev, x_pad: jax.Array) -> jax.Array:
+        x2d = x_pad.reshape(x_rows, LANES)
+        prod = a_call(a_win, dev["a_col"], dev["a_val"], x2d)
+        # T: (w, p, bg, bl) -> (bg, bl, w, p); band groups become contiguous
+        t4 = prod[:real].reshape(n_win, P, n_bg, LANES)
+        tarr = jnp.transpose(t4, (2, 3, 0, 1))
+        # pad the band axis up to whole blocks (bands_per_block * gr rows)
+        t2 = tarr.reshape(n_bg * LANES, gr, LANES)
+        need = n_groups * c
+        if need > n_bg * LANES:
+            t2 = jnp.concatenate(
+                [t2, jnp.zeros((need - n_bg * LANES, gr, LANES),
+                               dtype=t2.dtype)], axis=0)
+        elif need < n_bg * LANES:
+            t2 = t2[:need]
+        t2 = t2.reshape(need * gr, LANES)
+        y3 = b_call(b_gmap, b_boff, b_reset, dev["b_idx"], t2)
+        y_dst = jnp.take(y3.reshape(-1, LANES), b_last, axis=0).reshape(-1)
+        # spill tail: the XLA gather path (role of the ER tail)
+        if rm.sp_val.size:
+            y_dst = y_dst.at[dev["sp_dst"]].add(
+                dev["sp_val"] * x_pad[dev["sp_col"]])
+        return y_dst
+
+    log.info("routed apply: A %d tiles (%d steps), B %d tiles (%d steps), "
+             "chain %d, block %d bands (%.0f KB), spill %d",
+             a_tiles, a_steps_pad, b_tiles, b_steps_pad, chain, c,
+             c * gr * LANES * 4 / 1024, rm.sp_val.size)
+    return apply

@@ -1,0 +1,149 @@
+"""Routing-engine tests (core/route.py + ops/route_pallas.py + models/routed).
+
+The routed format covers the gather-wall regime — fully unstructured
+matrices where the EHYB window machinery has nothing to cache and the
+reference leans on hardware global-memory gathers
+(``/root/reference/kernel.cu:169-194``).  Strategy mirrors the EHYB
+conversion tests: structural invariants on the host-side schedules, then
+oracle parity through the interpret-mode Pallas kernels.
+"""
+import numpy as np
+import pytest
+
+from ehyb_spmv_gpu_tpu.config import EhybConfig
+from ehyb_spmv_gpu_tpu.core.coo import MatrixCOO, deterministic_x, oracle_spmv
+from ehyb_spmv_gpu_tpu.core.route import (
+    MAX_COLORS, TS, WIN, build_routed, _choose_params)
+from ehyb_spmv_gpu_tpu.io import generate
+
+
+def _random_coo(dim, k, seed=11):
+    rng = np.random.default_rng(seed)
+    row = np.repeat(np.arange(dim), k)
+    col = rng.integers(0, dim, dim * k)
+    key = row.astype(np.int64) * dim + col
+    _, ui = np.unique(key, return_index=True)
+    row, col = row[ui], col[ui]
+    val = rng.standard_normal(row.size)
+    return MatrixCOO(n_rows=dim, n_cols=dim, row=row.astype(np.int32),
+                     col=col.astype(np.int32), val=val)
+
+
+class TestChooseParams:
+    def test_random_1m_geometry_feasible(self):
+        # the adversarial corpus entry: 2^20 rows, ~16 nnz/row
+        n_win, R, P = _choose_params(1 << 20, 16 << 20, None, None)
+        assert n_win * P % WIN == 0
+        assert n_win * P // WIN <= 16
+        assert n_win >= (1 << 20) // WIN
+
+    def test_non_multiple_dim_pads_windows(self):
+        # dim = 1e6 -> 977 raw windows; padding must make n_win*P % 1024 == 0
+        n_win, R, P = _choose_params(1_000_000, 16_000_000, None, None)
+        assert n_win * P % WIN == 0
+        assert n_win >= 977
+
+    def test_too_dense_raises(self):
+        with pytest.raises(ValueError):
+            _choose_params(1 << 20, 200 << 20, None, None)
+
+
+class TestBuildInvariants:
+    @pytest.fixture(scope="class")
+    def rm_and_m(self):
+        m = _random_coo(16384, 8)
+        return build_routed(m), m
+
+    def test_nnz_conserved(self, rm_and_m):
+        rm, m = rm_and_m
+        assert rm.stats["nnz_routed"] + rm.stats["nnz_spill"] == m.nnz
+
+    def test_low_spill(self, rm_and_m):
+        # the edge colorer should route essentially everything on a random
+        # matrix (König: Δ colors suffice; budget is MAX_COLORS=64)
+        rm, m = rm_and_m
+        assert rm.stats["nnz_spill"] <= 0.01 * m.nnz
+
+    def test_stage_b_schedule_is_proper_coloring(self, rm_and_m):
+        # decode b_idx back: per dst step no source lane may carry two
+        # different (sel, srow) attributions, and every non-masked dst lane
+        # names a source lane
+        rm, _ = rm_and_m
+        bi = rm.b_idx.astype(np.int32)
+        mask = (bi >> 14) & 1
+        assert mask.shape == (rm.b_idx.shape[0], 128)
+        # masked positions may still carry slot attrs; unmasked = dst lanes
+        assert (mask == 0).sum() == rm.stats["nnz_routed"]
+
+    def test_values_conserved(self, rm_and_m):
+        rm, m = rm_and_m
+        total = np.float64(rm.a_val.sum()) + np.float64(rm.sp_val.sum())
+        assert np.isclose(total, np.float64(np.sum(m.val)), rtol=1e-5)
+
+    def test_dst_rows_is_permutation(self, rm_and_m):
+        rm, _ = rm_and_m
+        assert np.array_equal(np.sort(rm.dst_rows),
+                              np.arange(rm.n_dst_rows))
+
+    def test_widths_within_budget(self, rm_and_m):
+        rm, _ = rm_and_m
+        # every slice's sub-tile count is bounded by the color budget
+        assert rm.b_idx.shape[0] % TS == 0
+
+
+class TestOracleParity:
+    @pytest.mark.parametrize("dim,k,seed", [(4096, 8, 3), (8192, 4, 5)])
+    def test_random_matrix(self, dim, k, seed):
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = _random_coo(dim, k, seed)
+        x = deterministic_x(dim)
+        y_ref = oracle_spmv(m, x)
+        model = RoutedSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        y = model.recover_y(model.apply(model.prepare_x(x)))
+        rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, rel
+
+    def test_structured_matrix_also_correct(self, poisson_mid):
+        # the router is built for unstructured matrices but must stay
+        # correct on anything square
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = poisson_mid
+        x = deterministic_x(m.dimension)
+        y_ref = oracle_spmv(m, x)
+        model = RoutedSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        y = model.recover_y(model.apply(model.prepare_x(x)))
+        rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, rel
+
+    def test_powerlaw_rows_spill_but_stay_correct(self):
+        # heavy rows exceed the MAX_COLORS lane budget -> spill tail must
+        # absorb them exactly
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = generate.random_general(4096, 12, seed=9, power_law=0.8)
+        x = deterministic_x(m.dimension)
+        y_ref = oracle_spmv(m, x)
+        model = RoutedSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        y = model.recover_y(model.apply(model.prepare_x(x)))
+        rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, rel
+
+
+class TestCache:
+    def test_roundtrip(self, tmp_path):
+        from ehyb_spmv_gpu_tpu.models.routed import (
+            RoutedSpmv, _load_routed, _save_routed, _cache_path)
+
+        m = _random_coo(4096, 8, seed=2)
+        cfg = EhybConfig(artifact_cache=True, cache_dir=str(tmp_path))
+        model = RoutedSpmv(cfg).setup(m)
+        path = _cache_path(m, str(tmp_path))
+        rm2 = _load_routed(path)
+        assert rm2 is not None
+        assert np.array_equal(rm2.b_idx, model.routed.b_idx)
+        assert np.array_equal(rm2.a_col, model.routed.a_col)
+        # second setup must hit the cache
+        model2 = RoutedSpmv(cfg).setup(m)
+        assert "cache_load" in model2.setup_seconds
