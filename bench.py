@@ -101,6 +101,8 @@ def run_model(model_name: str, matrix_name: str, iters: int) -> int:
         ib = np.dtype(model.config.index_dtype).itemsize
         bm = spmv_bytes_model(e.stats, value_bytes=vb, ell_index_bytes=ib,
                               dim=m.dimension)
+    elif hasattr(model, "bytes_model"):
+        bm = model.bytes_model()        # routed pipeline's own traffic model
     else:
         # COO/BCOO baselines stream 2 int32 indices + an f32 value per nnz.
         bm = m.nnz * 12 + 2 * m.dimension * 4

@@ -40,7 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup", type=int, default=10,
                    help="warm-up iterations (reference hardcodes 10, spmv.cu:100)")
     p.add_argument("--model", default="ehyb",
-                   help="SpMV model: ehyb | ehyb_xla | hyb | csr | bcoo")
+                   help="SpMV model: ehyb | ehyb_xla | hyb | csr | bcoo | "
+                        "ehyb_routed (the gather-wall routing engine)")
     p.add_argument("--window", type=int, default=None,
                    help="x-window rows (multiple of 1024); default planner-chosen")
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
@@ -168,10 +169,15 @@ def main(argv=None) -> int:
     stats = getattr(model, "ehyb", None)
     # model.config is authoritative (the flagship swaps in int16 columns).
     mcfg = model.config
-    bm = spmv_bytes_model(stats.stats, dim=m.dimension,
-                          value_bytes=np.dtype(mcfg.dtype).itemsize,
-                          ell_index_bytes=np.dtype(mcfg.index_dtype).itemsize) \
-        if stats is not None else m.nnz * 8 + 2 * m.dimension * 4
+    if stats is not None:
+        bm = spmv_bytes_model(
+            stats.stats, dim=m.dimension,
+            value_bytes=np.dtype(mcfg.dtype).itemsize,
+            ell_index_bytes=np.dtype(mcfg.index_dtype).itemsize)
+    elif hasattr(model, "bytes_model"):
+        bm = model.bytes_model()        # routed pipeline's own traffic model
+    else:
+        bm = m.nnz * 8 + 2 * m.dimension * 4
     res = bench_apply(f"{args.model}:{name}",
                       lambda n: model.iterate(x_dev, n),
                       nnz=m.nnz, iters=args.iters, warmup=args.warmup,

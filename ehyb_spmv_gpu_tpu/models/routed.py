@@ -31,7 +31,9 @@ from .base import SpmvModel
 log = get_logger(__name__)
 
 #: Bump on any route-builder semantic change.
-ROUTE_FORMAT_VERSION = 1
+ROUTE_FORMAT_VERSION = 2  # 2: class-aware native stage-A colorer (spill
+# 210k -> structural floor on random_1m; stale v1 schedules are valid but
+# leave 8x the spill on the XLA tail)
 
 
 def _cache_path(m: MatrixCOO, cache_dir: Optional[str]) -> str:
@@ -132,6 +134,29 @@ class RoutedSpmv(SpmvModel):
         out = np.zeros(self.routed.n_dst_rows, dtype=np.float64)
         out[self.routed.dst_rows] = y_np[: self.routed.n_dst_rows]
         return out[: self.m.n_rows]
+
+    def bytes_model(self) -> int:
+        """Modeled HBM bytes per iteration (roofline denominator).
+
+        The routed pipeline's traffic is dominated by the product array
+        moving through A-write, T-read, T-write, B-read — 4 passes of
+        4 B/slot over the padded A stream — plus the 2 B index streams of
+        both stages and x once.  This is the honest price of routing: ~5x
+        the nnz bytes of a direct format, traded against the ~14
+        cyc/element gather wall.
+        """
+        rm = self.routed
+        a_slots = rm.a_col.shape[0] * LANES
+        b_slots = rm.b_idx.shape[0] * LANES
+        prod = rm.a_real_steps * LANES * 4
+        return int(a_slots * (2 + 4)          # a_col + a_val
+                   + a_slots * 4              # product write (padded)
+                   + 2 * prod                 # transpose read + write
+                   + prod                     # B block reads (once per group)
+                   + b_slots * 2              # b_idx
+                   + b_slots // 8 * 4         # y tile writes
+                   + rm.padded_x_rows * 4     # x
+                   + rm.sp_val.size * 12)     # spill tail
 
     def apply(self, x_dev: jax.Array) -> jax.Array:
         return self._apply(self.dev, x_dev)

@@ -112,8 +112,44 @@ def _load_color():
         ctypes.c_int,                                    # max_colors
         np.ctypeslib.ndpointer(np.int32, flags="C"),     # out: color
     ]
+    lib.ehyb_color_edges_cls.restype = ctypes.c_longlong
+    lib.ehyb_color_edges_cls.argtypes = [
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # pair
+        np.ctypeslib.ndpointer(np.int16, flags="C"),     # lane
+        np.ctypeslib.ndpointer(np.int16, flags="C"),     # slot
+        np.ctypeslib.ndpointer(np.int16, flags="C"),     # cls
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # order
+        ctypes.c_int,                                    # n_pairs
+        ctypes.c_int,                                    # max_colors
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # out: color
+    ]
     _colorlib = lib
     return lib
+
+
+def color_edges_cls_native(pair: np.ndarray, lane: np.ndarray,
+                           slot: np.ndarray, cls: np.ndarray,
+                           order: np.ndarray, n_pairs: int,
+                           max_colors: int) -> np.ndarray:
+    """Class-aware greedy edge coloring (routing stage A; see routecolor.cpp).
+
+    Slot conflicts count only when the class differs — the relaxed two-stage
+    gather's sharing rule.  Returns int32 colors per edge; -1 = spill.
+    """
+    lib = _load_color()
+    n = pair.shape[0]
+    pair = np.ascontiguousarray(pair, dtype=np.int32)
+    lane = np.ascontiguousarray(lane, dtype=np.int16)
+    slot = np.ascontiguousarray(slot, dtype=np.int16)
+    cls = np.ascontiguousarray(cls, dtype=np.int16)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    out = np.empty(n, dtype=np.int32)
+    spilled = lib.ehyb_color_edges_cls(n, pair, lane, slot, cls, order,
+                                       int(n_pairs), int(max_colors), out)
+    if spilled < 0:
+        raise RuntimeError(f"native class colorer failed (code {spilled})")
+    return out
 
 
 def color_edges_native(pair: np.ndarray, lane: np.ndarray, slot: np.ndarray,

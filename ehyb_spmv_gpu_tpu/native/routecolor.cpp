@@ -56,4 +56,66 @@ long long ehyb_color_edges(long long n_edges,
   return spilled;
 }
 
+// Class-aware variant for the routing engine's stage A.  There the "slot" is
+// a lane of the gathered x vreg and carries a class attribution (the sublane
+// index hi): two edges may share (color, slot) iff their classes are EQUAL —
+// both lanes then read the same gathered element — while lane conflicts are
+// unconditional.  This is the relaxed packer's election condition
+// (convert.py _pack_steps_relaxed) run as a sequential lowest-free-color
+// greedy; the vectorized round election left ~8x the structural cell-
+// overflow floor unplaced on random_1m (210k vs 25k of 16.7M).
+// cls[i] in [0, 256).  Returns spilled count, or -1 on bad args.
+long long ehyb_color_edges_cls(long long n_edges,
+                               const int32_t* pair,
+                               const int16_t* lane,
+                               const int16_t* slot,
+                               const int16_t* cls,
+                               const int64_t* order,
+                               int32_t n_pairs,
+                               int32_t max_colors,
+                               int32_t* color_out) {
+  if (n_edges < 0 || n_pairs <= 0 || max_colors < 1 || max_colors > 64)
+    return -1;
+  const uint64_t cap_mask =
+      (max_colors == 64) ? ~0ull : ((1ull << max_colors) - 1ull);
+  std::vector<uint64_t> lmask((size_t)n_pairs * 128, 0);
+  std::vector<uint64_t> smask((size_t)n_pairs * 128, 0);
+  // class stored per (pair, slot, color); only read under smask bits.
+  std::vector<uint8_t> shi((size_t)n_pairs * 128 * max_colors, 0);
+  long long spilled = 0;
+  for (long long k = 0; k < n_edges; ++k) {
+    const int64_t e = order[k];
+    const size_t base = (size_t)pair[e] * 128;
+    uint64_t& lm = lmask[base + (uint16_t)lane[e]];
+    const size_t sb = base + (uint16_t)slot[e];
+    uint64_t& sm = smask[sb];
+    const uint8_t c8 = (uint8_t)cls[e];
+    uint8_t* hi = &shi[sb * max_colors];
+    // colors whose slot is occupied by a DIFFERENT class are forbidden
+    uint64_t bad = 0;
+    uint64_t occ = sm;
+    while (occ) {
+      const int c = __builtin_ctzll(occ);
+      occ &= occ - 1;
+      if (hi[c] != c8) bad |= 1ull << c;
+    }
+    const uint64_t free = ~(lm | bad) & cap_mask;
+    if (!free) {
+      color_out[e] = -1;
+      ++spilled;
+      continue;
+    }
+    // prefer a color where the slot already holds this class (free ride —
+    // no new slot pressure), else the lowest fresh color
+    const uint64_t ride = free & sm;
+    const int c = __builtin_ctzll(ride ? ride : free);
+    const uint64_t bit = 1ull << c;
+    lm |= bit;
+    sm |= bit;
+    hi[c] = c8;
+    color_out[e] = c;
+  }
+  return spilled;
+}
+
 }  // extern "C"
