@@ -91,6 +91,18 @@ class TestBuildInvariants:
         assert rm.b_idx.shape[0] % TS == 0
 
 
+class TestColorerQuality:
+    def test_stage_a_spill_near_poisson_floor(self):
+        # random_1m regime scaled down (dim 2^17, k=16; R=128 keeps the cell
+        # occupancy mu=16 under P=32 — the same 2x Poisson slack as the 1M
+        # geometry): the class-aware colorer must leave only the structural
+        # cell overflow (~0.1%), where the round election left ~8x that
+        m = _random_coo(1 << 17, 16, seed=21)
+        rm = build_routed(m, R=128, P=32)
+        assert rm.stats["chain"] <= 16
+        assert rm.stats["nnz_spill"] <= 0.003 * m.nnz, rm.stats
+
+
 class TestOracleParity:
     @pytest.mark.parametrize("dim,k,seed", [(4096, 8, 3), (8192, 4, 5)])
     def test_random_matrix(self, dim, k, seed):
