@@ -188,13 +188,19 @@ MAX_COLORS = 64
 
 
 def _assign_steps_a(pair: np.ndarray, lane: np.ndarray, slot: np.ndarray,
-                    cls: np.ndarray, n_pairs: int, P: int) -> np.ndarray:
+                    cls: np.ndarray, n_pairs: int, P: int,
+                    win: Optional[np.ndarray] = None,
+                    dslice: Optional[np.ndarray] = None,
+                    sperm: Optional[np.ndarray] = None,
+                    n_dslices: int = 0) -> np.ndarray:
     """Stage-A stripe per entry via class-aware edge coloring; -1 = spill.
 
     Heaviest-endpoint-first order (max of the entry's cell load and its
-    (pair, lo)-slot load, descending).  Falls back to the vectorized round
-    election when the native colorer is unavailable (more spill, same
-    correctness — spilled entries ride the XLA tail).
+    (pair, lo)-slot load, descending).  When (win, dslice, sperm) are given,
+    the native colorer additionally balances the B-side slot loads the
+    stripe choice induces.  Falls back to the vectorized round election when
+    the native colorer is unavailable (more spill, same correctness —
+    spilled entries ride the XLA tail).
     """
     cell_load = np.zeros((n_pairs, LANES), dtype=np.int32)
     np.add.at(cell_load, (pair, lane), 1)
@@ -206,6 +212,15 @@ def _assign_steps_a(pair: np.ndarray, lane: np.ndarray, slot: np.ndarray,
         # get huge P, where per-cell load is tiny and the round election
         # spills ~nothing anyway
         try:
+            if win is not None:
+                from ..native import color_edges_cls_bal_native
+
+                return color_edges_cls_bal_native(
+                    pair.astype(np.int32), lane.astype(np.int16),
+                    slot.astype(np.int16), cls.astype(np.int16),
+                    win.astype(np.int32), dslice.astype(np.int32),
+                    sperm.reshape(-1).astype(np.int16), order,
+                    n_pairs, n_dslices, P).astype(np.int64)
             from ..native import color_edges_cls_native
 
             return color_edges_cls_native(
@@ -283,15 +298,39 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     hi = (col % WIN) // LANES
     lo = col % LANES
 
+    # ---- dst row order: density sort within each band (decided BEFORE
+    # stage A so the colorer can balance B-side slot loads; counts include
+    # the soon-to-spill 0.1%, which cannot move a sort by integer counts
+    # far) ------------------------------------------------------------------
+    n_dst_rows = n_bands * R
+    counts = np.bincount(row, minlength=n_dst_rows).astype(np.int64)
+    order_in_band = np.argsort(
+        (np.arange(n_dst_rows, dtype=np.int64) // R) * (counts.max() + 2)
+        - counts, kind="stable")               # band-major, count desc
+    dst_rows = order_in_band.astype(np.int32)  # dst position -> orig row
+    dst_of_row = np.empty(n_dst_rows, dtype=np.int64)
+    dst_of_row[order_in_band] = np.arange(n_dst_rows)
+    n_dst_slices = n_dst_rows // LANES
+
+    # Stripe scramble (see the scatter comment below) — built up front so
+    # the balance-aware colorer can price each stripe's resulting B slot.
+    sperm = np.argsort(
+        np.random.default_rng(0xE4B).random((n_win, P)), axis=1)
+
     # ---- stage A packing: pair=(w, bg), lane=blane, slot=lo, class=hi ----
     # The election condition is the relaxed packer's (two entries share a
     # (stripe, lo) slot iff their hi agrees), but run as the sequential
     # class-aware lowest-free-color greedy: the vectorized round election
     # left 210k of 16.7M entries unplaced on random_1m where the structural
     # (Poisson cell-overflow) floor is ~25k — and every spilled entry costs
-    # the measured ~14 cyc/element XLA tail.
+    # the measured ~14 cyc/element XLA tail.  Among feasible stripes the
+    # colorer picks the one minimizing the dst slice's B-slot load: stage
+    # B's widths bind on the MAX source-lane load (Poisson max ~2x mean on
+    # random matrices), and the stripe choice is exactly the slot choice.
     pair_a = w * n_bg + bg
-    step_a = _assign_steps_a(pair_a, blane, lo, hi, n_win * n_bg, P)
+    step_a = _assign_steps_a(pair_a, blane, lo, hi, n_win * n_bg, P,
+                             win=w, dslice=dst_of_row[row] // LANES,
+                             sperm=sperm, n_dslices=n_dst_slices)
     # lane == band here, so step_a IS the entry's stripe within its cell;
     # stripes past P (or unplaceable) overflow the cell -> spill
     kept = step_a >= 0
@@ -310,9 +349,8 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     # becomes a skewed slot histogram and the B election then loses ~2/3 of
     # its per-round throughput to slot collisions (measured: 45 rounds for a
     # 24-step budget).  Relabeling whole (w, stripe) step groups is free —
-    # both sides derive their address from the same flat position.
-    sperm = np.argsort(
-        np.random.default_rng(0xE4B).random((n_win, P)), axis=1)
+    # both sides derive their address from the same flat position.  (The
+    # balance-aware colorer already priced stripes THROUGH this map.)
     ks = sperm[kw, ks]
     sidx = (kw * P + ks) * n_bg + kbg
     flat_slot = sidx * LANES + klo
@@ -327,16 +365,6 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     a_win[: a_real_steps // TS] = np.repeat(
         np.arange(n_win, dtype=np.int32), P * n_bg // TS) * (WIN // LANES)
 
-    # ---- dst row order: density sort within each band --------------------
-    n_dst_rows = n_bands * R
-    counts = np.bincount(row[kept], minlength=n_dst_rows).astype(np.int64)
-    order_in_band = np.argsort(
-        (np.arange(n_dst_rows, dtype=np.int64) // R) * (counts.max() + 2)
-        - counts, kind="stable")               # band-major, count desc
-    dst_rows = order_in_band.astype(np.int32)  # dst position -> orig row
-    dst_of_row = np.empty(n_dst_rows, dtype=np.int64)
-    dst_of_row[order_in_band] = np.arange(n_dst_rows)
-
     # ---- stage B packing: pair=dst slice, lane=dst row, slot=product lane.
     # Every (slot, class) pair is unique (it names one stage-A cell), so the
     # feasibility condition degenerates to "per (slice, step): each dst lane
@@ -348,7 +376,6 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     dst = dst_of_row[kr]
     dslice = dst // LANES
     dlane = dst % LANES
-    n_dst_slices = n_dst_rows // LANES
     flat_g = kw * P + ks                      # address inside the band group
     b_sel = flat_g // WIN
     b_srow = (flat_g % WIN) // LANES

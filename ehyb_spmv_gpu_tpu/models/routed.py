@@ -31,9 +31,9 @@ from .base import SpmvModel
 log = get_logger(__name__)
 
 #: Bump on any route-builder semantic change.
-ROUTE_FORMAT_VERSION = 2  # 2: class-aware native stage-A colorer (spill
-# 210k -> structural floor on random_1m; stale v1 schedules are valid but
-# leave 8x the spill on the XLA tail)
+ROUTE_FORMAT_VERSION = 3  # 3: B-slot-balancing stage-A colorer (b_steps
+# -18%); 2: class-aware native stage-A colorer (spill 210k -> structural
+# floor on random_1m)
 
 
 def _cache_path(m: MatrixCOO, cache_dir: Optional[str]) -> str:

@@ -124,8 +124,52 @@ def _load_color():
         ctypes.c_int,                                    # max_colors
         np.ctypeslib.ndpointer(np.int32, flags="C"),     # out: color
     ]
+    lib.ehyb_color_edges_cls_bal.restype = ctypes.c_longlong
+    lib.ehyb_color_edges_cls_bal.argtypes = [
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # pair
+        np.ctypeslib.ndpointer(np.int16, flags="C"),     # lane
+        np.ctypeslib.ndpointer(np.int16, flags="C"),     # slot
+        np.ctypeslib.ndpointer(np.int16, flags="C"),     # cls
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # win
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # dslice
+        np.ctypeslib.ndpointer(np.int16, flags="C"),     # perm
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # order
+        ctypes.c_int,                                    # n_pairs
+        ctypes.c_int,                                    # n_dslices
+        ctypes.c_int,                                    # P
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # out: color
+    ]
     _colorlib = lib
     return lib
+
+
+def color_edges_cls_bal_native(pair: np.ndarray, lane: np.ndarray,
+                               slot: np.ndarray, cls: np.ndarray,
+                               win: np.ndarray, dslice: np.ndarray,
+                               perm: np.ndarray, order: np.ndarray,
+                               n_pairs: int, n_dslices: int,
+                               P: int) -> np.ndarray:
+    """Stage-A class-aware coloring with B-side slot balancing (see
+    routecolor.cpp).  Returns int32 stripe (pre-scramble) per edge; -1 =
+    spill."""
+    lib = _load_color()
+    n = pair.shape[0]
+    pair = np.ascontiguousarray(pair, dtype=np.int32)
+    lane = np.ascontiguousarray(lane, dtype=np.int16)
+    slot = np.ascontiguousarray(slot, dtype=np.int16)
+    cls = np.ascontiguousarray(cls, dtype=np.int16)
+    win = np.ascontiguousarray(win, dtype=np.int32)
+    dslice = np.ascontiguousarray(dslice, dtype=np.int32)
+    perm = np.ascontiguousarray(perm, dtype=np.int16)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    out = np.empty(n, dtype=np.int32)
+    spilled = lib.ehyb_color_edges_cls_bal(
+        n, pair, lane, slot, cls, win, dslice, perm, order,
+        int(n_pairs), int(n_dslices), int(P), out)
+    if spilled < 0:
+        raise RuntimeError(f"native bal colorer failed (code {spilled})")
+    return out
 
 
 def color_edges_cls_native(pair: np.ndarray, lane: np.ndarray,

@@ -118,4 +118,80 @@ long long ehyb_color_edges_cls(long long n_edges,
   return spilled;
 }
 
+// Stage-A colorer with B-side slot balancing.  The stripe chosen here fixes
+// the entry's position in its band's transposed group, and stage B's select
+// schedule is edge-colored with that position's lane (flat_g % 128) as the
+// slot — per-slice widths bind on the MAX slot load (Poisson max ~2x mean on
+// random matrices).  So among the stage-A-feasible stripes, pick the one
+// whose resulting B slot currently has the lowest load for the entry's dst
+// slice: slot(c) = (w*P + perm[w*P + c]) % 128 (perm = the stripe scramble
+// applied by the builder afterwards).  Free rides (slot already holds this
+// class) win ties — they add no A-slot pressure.
+long long ehyb_color_edges_cls_bal(long long n_edges,
+                                   const int32_t* pair,
+                                   const int16_t* lane,
+                                   const int16_t* slot,
+                                   const int16_t* cls,
+                                   const int32_t* win,
+                                   const int32_t* dslice,
+                                   const int16_t* perm,
+                                   const int64_t* order,
+                                   int32_t n_pairs,
+                                   int32_t n_dslices,
+                                   int32_t P,
+                                   int32_t* color_out) {
+  if (n_edges < 0 || n_pairs <= 0 || n_dslices <= 0 || P < 1 || P > 64)
+    return -1;
+  const uint64_t cap_mask = (P == 64) ? ~0ull : ((1ull << P) - 1ull);
+  std::vector<uint64_t> lmask((size_t)n_pairs * 128, 0);
+  std::vector<uint64_t> smask((size_t)n_pairs * 128, 0);
+  std::vector<uint8_t> shi((size_t)n_pairs * 128 * P, 0);
+  std::vector<int32_t> bload((size_t)n_dslices * 128, 0);
+  long long spilled = 0;
+  for (long long k = 0; k < n_edges; ++k) {
+    const int64_t e = order[k];
+    const size_t base = (size_t)pair[e] * 128;
+    uint64_t& lm = lmask[base + (uint16_t)lane[e]];
+    const size_t sb = base + (uint16_t)slot[e];
+    uint64_t& sm = smask[sb];
+    const uint8_t c8 = (uint8_t)cls[e];
+    uint8_t* hi = &shi[sb * P];
+    uint64_t bad = 0;
+    uint64_t occ = sm;
+    while (occ) {
+      const int c = __builtin_ctzll(occ);
+      occ &= occ - 1;
+      if (hi[c] != c8) bad |= 1ull << c;
+    }
+    uint64_t free = ~(lm | bad) & cap_mask;
+    if (!free) {
+      color_out[e] = -1;
+      ++spilled;
+      continue;
+    }
+    const int64_t wP = (int64_t)win[e] * P;
+    int32_t* bl = &bload[(size_t)dslice[e] * 128];
+    int best = -1;
+    int64_t best_cost = INT64_MAX;
+    while (free) {
+      const int c = __builtin_ctzll(free);
+      free &= free - 1;
+      const int bslot = (int)((wP + perm[wP + c]) & 127);
+      // x2: balance dominates; -1: prefer a free ride at equal load
+      const int64_t cost = 2 * (int64_t)bl[bslot] - ((sm >> c) & 1);
+      if (cost < best_cost) {
+        best_cost = cost;
+        best = c;
+      }
+    }
+    const uint64_t bit = 1ull << best;
+    lm |= bit;
+    sm |= bit;
+    hi[best] = c8;
+    bl[(wP + perm[wP + best]) & 127] += 1;
+    color_out[e] = best;
+  }
+  return spilled;
+}
+
 }  // extern "C"
