@@ -66,10 +66,17 @@ TS = 8
 WIN = 1024
 #: Hard bound on the stage-B select chain (sel field = 4 bits of the int16).
 MAX_CHAIN = 16
-#: Sub-tiles per grid step for both stage kernels (amortizes the measured
-#: ~240 ns flat per-grid-step cost of streamed Pallas bodies).
-S_A = 32
+#: Sub-tiles per grid step of the stage-A kernel (amortizes the measured
+#: ~240 ns flat per-grid-step cost of streamed Pallas bodies; A's grid is
+#: uniform so bigger is simply better until the ~1.3 MB/tile VMEM footprint).
+S_A = 64
+#: Default stage-B sub-tiles per grid step (overridden per matrix by
+#: :func:`_choose_group_geometry`).
 S_B = 32
+#: One grid step's flat cost expressed in (8,128) B steps (240 ns vs
+#: ~2.8 ns/step of stream+select work) — the exchange rate the group
+#: geometry search uses between padding and tile count.
+FLAT_STEP_EQ = 85
 #: Max bands per stage-B block (VMEM: bands_per_block * n_win*P * 4 B).
 MAX_BANDS_PER_BLOCK = 6
 
@@ -89,6 +96,7 @@ class RoutedMatrix:
     n_bands: int
     n_bg: int            # band rows of the A layout = ceil(n_bands / 128)
     bands_per_block: int  # stage-B block covers this many consecutive bands
+    s_b: int             # stage-B sub-tiles per grid step (searched)
     # stage A (gather-multiply)
     a_col: np.ndarray    # int16 (hi<<7)|lo, slot-attr layout [a_steps_pad,128]
     a_val: np.ndarray    # f32 same shape
@@ -185,6 +193,33 @@ def _choose_params(dim: int, nnz: int, R: Optional[int], P: Optional[int]):
 #: Stage-B step budget per dst slice (the colorer's single-uint64 mask width;
 #: also bounds the widths and so the idx stream size).
 MAX_COLORS = 64
+
+
+def _choose_group_geometry(band_steps: np.ndarray):
+    """Search (c bands/block, S_B sub-tiles/grid-step) minimizing
+    ``padding + FLAT_STEP_EQ * n_tiles`` — every group pads its steps up to
+    the S_B*TS grid quantum, and every grid step costs a flat ~240 ns.
+
+    A fixed (2, 32) wasted 28%% of random_1m's stage-B stream in group
+    padding; the search typically lands on larger blocks whose quantum sits
+    just above c·median(band_steps).
+    """
+    n_bands = band_steps.shape[0]
+    best = (MAX_BANDS_PER_BLOCK, S_B)
+    best_cost = None
+    for c in range(1, MAX_BANDS_PER_BLOCK + 1):
+        n_groups = cdiv(n_bands, c)
+        pad_n = n_groups * c - n_bands
+        gs = np.pad(band_steps, (0, pad_n)).reshape(n_groups, c).sum(axis=1)
+        for s_b in range(8, 97, 4):
+            q = s_b * TS
+            gp = _round_up_arr(gs, q)
+            tiles = int((gp // q).sum())
+            cost = int(gp.sum() - gs.sum()) + FLAT_STEP_EQ * tiles
+            if best_cost is None or cost < best_cost:
+                best_cost = cost
+                best = (c, s_b)
+    return best
 
 
 def _assign_steps_a(pair: np.ndarray, lane: np.ndarray, slot: np.ndarray,
@@ -391,16 +426,20 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     widths = np.maximum(_round_up_arr(mxc, TS), TS)
 
     # ---- dst step layout: bands -> fixed-size band groups ---------------
+    # (c bands/block, S_B sub-tiles/grid step) are searched jointly: every
+    # group pads to the S_B*TS grid quantum, and every grid step pays the
+    # measured ~240 ns flat streamed-kernel cost (~FLAT_STEP_EQ steps'
+    # worth), so a fixed quantum wastes up to ~28% of the stage-B stream
+    # (random_1m, c=2/S_B=32: groups of ~184 steps padded to 256).
     slices_per_band = R // LANES
     wb = widths.reshape(n_bands, slices_per_band)
     band_steps = wb.sum(axis=1)               # multiples of 8
-    c = int(max(1, min(MAX_BANDS_PER_BLOCK,
-                       (S_B * TS) // max(1, int(np.median(band_steps))))))
+    c, s_b = _choose_group_geometry(band_steps)
     n_groups = cdiv(n_bands, c)
     grp_of_band = np.arange(n_bands) // c
     grp_steps = np.zeros(n_groups, dtype=np.int64)
     np.add.at(grp_steps, grp_of_band, band_steps)
-    grp_steps_pad = _round_up_arr(grp_steps, S_B * TS)
+    grp_steps_pad = _round_up_arr(grp_steps, s_b * TS)
     grp_base = np.concatenate([[0], np.cumsum(grp_steps_pad)[:-1]])
     # band base inside its group
     within_g = np.zeros(n_bands, dtype=np.int64)
@@ -442,14 +481,14 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
                   | (step_band.reshape(-1, TS) < 0)), \
         "dst sub-tile straddles a band"
     # padding sub-tiles: attribute to the group's first band (mask rows)
-    b_grid = b_steps_pad // (S_B * TS)
-    sub_grp = np.repeat(np.arange(b_grid), S_B)
+    b_grid = b_steps_pad // (s_b * TS)
+    sub_grp = np.repeat(np.arange(b_grid), s_b)
     step_grp = np.searchsorted(grp_base, np.arange(b_steps_pad),
                                side="right") - 1
     sub_grp = step_grp.reshape(-1, TS)[:, 0]
     sub_band = np.where(sub_band < 0, sub_grp * c, sub_band)
-    b_gmap = sub_grp.reshape(b_grid, S_B)[:, 0].astype(np.int32)
-    b_boff = ((sub_band - b_gmap.repeat(S_B) * c) * gr).astype(np.int32)
+    b_gmap = sub_grp.reshape(b_grid, s_b)[:, 0].astype(np.int32)
+    b_boff = ((sub_band - b_gmap.repeat(s_b) * c) * gr).astype(np.int32)
     assert b_boff.min(initial=0) >= 0 \
         and b_boff.max(initial=0) <= (c - 1) * gr, "boff out of block"
     sub_slice = step_slice.reshape(-1, TS)[:, 0]
@@ -476,13 +515,13 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
         "b_fill": float(kept_b.sum() / max(b_steps_pad * LANES, 1)),
         "chain": n_win * P // WIN,
         "P": P, "R": R, "n_win": n_win, "n_bands": n_bands,
-        "bands_per_block": c,
+        "bands_per_block": c, "s_b": s_b,
     }
     log.info("routed format: %s", {k: (round(v, 4) if isinstance(v, float)
                                        else v) for k, v in stats.items()})
     return RoutedMatrix(
         dim=dim, n_win=n_win, P=P, R=R, n_bands=n_bands, n_bg=n_bg,
-        bands_per_block=c,
+        bands_per_block=c, s_b=s_b,
         a_col=a_col, a_val=a_val, a_win=a_win, a_real_steps=a_real_steps,
         b_idx=b_idx, b_gmap=b_gmap, b_boff=b_boff, b_reset=b_reset,
         b_last=b_last, sp_dst=sp_dst, sp_col=sp_cols.astype(np.int32),

@@ -31,9 +31,9 @@ from .base import SpmvModel
 log = get_logger(__name__)
 
 #: Bump on any route-builder semantic change.
-ROUTE_FORMAT_VERSION = 3  # 3: B-slot-balancing stage-A colorer (b_steps
-# -18%); 2: class-aware native stage-A colorer (spill 210k -> structural
-# floor on random_1m)
+ROUTE_FORMAT_VERSION = 4  # 4: searched (c, S_B) group geometry (group
+# padding 28% -> ~2%); 3: B-slot-balancing stage-A colorer (b_steps -18%);
+# 2: class-aware native stage-A colorer (spill 210k -> structural floor)
 
 
 def _cache_path(m: MatrixCOO, cache_dir: Optional[str]) -> str:
@@ -48,7 +48,7 @@ _ARRAY_FIELDS = ("a_col", "a_val", "a_win", "b_idx", "b_gmap", "b_boff",
                  "b_reset", "b_last", "sp_dst", "sp_col", "sp_val",
                  "dst_rows")
 _SCALAR_FIELDS = ("dim", "n_win", "P", "R", "n_bands", "n_bg",
-                  "bands_per_block", "a_real_steps")
+                  "bands_per_block", "s_b", "a_real_steps")
 
 
 def _save_routed(rm: RoutedMatrix, path: str) -> None:

@@ -8,7 +8,8 @@ emits raw products — no reduction, the full (8,128) block is the output.
 Stage T: a static XLA transpose (window, stripe, band) -> (band, ...) done
 in the apply (jnp.transpose — HBM-bandwidth data movement, no kernel).
 
-Stage B: route + reduce.  One grid step = S_B sub-tiles, all inside one
+Stage B: route + reduce.  One grid step = s_b sub-tiles (searched per
+matrix with the bands-per-block), all inside one
 band GROUP whose transposed products are BlockSpec-streamed into VMEM
 (``bands_per_block`` bands x n_win*P f32).  Each lane decodes
 ``(mask, sel, srow, lane)`` from the packed int16; a select chain over the
@@ -33,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import LANES
-from ..core.route import RoutedMatrix, S_A, S_B, TS, WIN
+from ..core.route import RoutedMatrix, S_A, TS, WIN
 from ..utils.log import get_logger
 
 log = get_logger(__name__)
@@ -55,7 +56,7 @@ def _route_a_kernel(win_ref, col_ref, val_ref, x_ref, y_ref):
             val_ref[i * TS:(i + 1) * TS, :] * g
 
 
-def _make_route_b_kernel(chain: int):
+def _make_route_b_kernel(chain: int, s_b: int):
     """Gather from the band-group block via a ``chain``-way select over
     (8,128) sub-windows at the sub-tile's dynamic band offset, then
     reset-cumulative in-lane reduction (dst slices of 128 rows)."""
@@ -68,8 +69,8 @@ def _make_route_b_kernel(chain: int):
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        for i in range(S_B):
-            k = t * S_B + i
+        for i in range(s_b):
+            k = t * s_b + i
             off = boff_ref[k]
             iv = idx_ref[i * TS:(i + 1) * TS, :].astype(jnp.int32)
             sel = jax.lax.bitwise_and(jax.lax.shift_right_logical(iv, 10), 15)
@@ -112,7 +113,8 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
     a_steps_pad = rm.a_col.shape[0]
     a_tiles = a_steps_pad // (S_A * TS)
     b_steps_pad = rm.b_idx.shape[0]
-    b_tiles = b_steps_pad // (S_B * TS)
+    s_b = rm.s_b
+    b_tiles = b_steps_pad // (s_b * TS)
     x_rows = rm.padded_x_rows // LANES
     a_win = jnp.asarray(rm.a_win)
     b_gmap = jnp.asarray(rm.b_gmap)
@@ -144,7 +146,7 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
         cost_estimate=a_cost, interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
 
-    spt_b = S_B * TS
+    spt_b = s_b * TS
     b_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b_tiles,),
@@ -154,7 +156,7 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
             pl.BlockSpec((c * gr, LANES), lambda t, g, o, r: (g[t], 0),
                          memory_space=pltpu.VMEM),   # T block (band group)
         ],
-        out_specs=pl.BlockSpec((1, S_B, LANES), lambda t, g, o, r: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, s_b, LANES), lambda t, g, o, r: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, LANES), jnp.float32)],
     )
@@ -164,8 +166,8 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
                            + b_tiles * c * gr * LANES * 4),
         transcendentals=0)
     b_call = pl.pallas_call(
-        _make_route_b_kernel(chain), grid_spec=b_grid,
-        out_shape=jax.ShapeDtypeStruct((b_tiles, S_B, LANES), jnp.float32),
+        _make_route_b_kernel(chain, s_b), grid_spec=b_grid,
+        out_shape=jax.ShapeDtypeStruct((b_tiles, s_b, LANES), jnp.float32),
         cost_estimate=b_cost, interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
 
