@@ -211,7 +211,8 @@ def _choose_group_geometry(band_steps: np.ndarray):
         n_groups = cdiv(n_bands, c)
         pad_n = n_groups * c - n_bands
         gs = np.pad(band_steps, (0, pad_n)).reshape(n_groups, c).sum(axis=1)
-        for s_b in range(8, 97, 4):
+        for s_b in range(8, 97, 8):  # multiples of 8: the out block's
+            # sublane dim is s_b — keep it layout-aligned
             q = s_b * TS
             gp = _round_up_arr(gs, q)
             tiles = int((gp // q).sum())
