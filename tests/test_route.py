@@ -91,6 +91,19 @@ class TestBuildInvariants:
         assert rm.b_idx.shape[0] % TS == 0
 
 
+class TestGroupGeometry:
+    def test_search_bounds(self):
+        from ehyb_spmv_gpu_tpu.core.route import (
+            MAX_BANDS_PER_BLOCK, _choose_group_geometry)
+
+        rng = np.random.default_rng(3)
+        for steps in (np.full(100, 88), rng.integers(4, 40, 500) * 8,
+                      np.array([8]), np.array([4000, 8, 8, 8])):
+            c, s_b = _choose_group_geometry(np.asarray(steps, dtype=np.int64))
+            assert 1 <= c <= MAX_BANDS_PER_BLOCK
+            assert s_b % 8 == 0 and 8 <= s_b <= 96
+
+
 class TestColorerQuality:
     def test_stage_a_spill_near_poisson_floor(self):
         # random_1m regime scaled down (dim 2^17, k=16; R=128 keeps the cell
