@@ -130,10 +130,9 @@ class RoutedSpmv(SpmvModel):
         return jnp.asarray(xp)
 
     def recover_y(self, y: jax.Array) -> np.ndarray:
-        y_np = np.asarray(y, dtype=np.float64)
-        out = np.zeros(self.routed.n_dst_rows, dtype=np.float64)
-        out[self.routed.dst_rows] = y_np[: self.routed.n_dst_rows]
-        return out[: self.m.n_rows]
+        # apply already returns input-space y (route_pallas scatters the
+        # dst-ordered result back through dst_rows on device)
+        return np.asarray(y, dtype=np.float64)[: self.m.n_rows]
 
     def bytes_model(self) -> int:
         """Modeled HBM bytes per iteration (roofline denominator).
@@ -155,7 +154,7 @@ class RoutedSpmv(SpmvModel):
                    + prod                     # B block reads (once per group)
                    + b_slots * 2              # b_idx
                    + b_slots // 8 * 4         # y tile writes
-                   + rm.padded_x_rows * 4     # x
+                   + rm.padded_x_rows * 12    # x read + in-space y scatter
                    + rm.sp_val.size * 12)     # spill tail
 
     def apply(self, x_dev: jax.Array) -> jax.Array:

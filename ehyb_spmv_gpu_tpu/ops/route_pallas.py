@@ -97,7 +97,8 @@ def _make_route_b_kernel(chain: int, s_b: int):
 
 def make_routed_apply(rm: RoutedMatrix, dtype="float32",
                       interpret: bool = False) -> Callable:
-    """Build ``apply(dev, x_pad) -> y_dst`` (dst-ordered, padded rows).
+    """Build ``apply(dev, x_pad) -> y_pad`` (INPUT-space rows, padded like
+    x — chainable).
 
     ``dev`` is the dict from :meth:`RoutedMatrix.to_jax`; ``x_pad`` is the
     f32 input padded to ``rm.padded_x_rows`` (NOT permuted — the routed
@@ -173,6 +174,16 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
 
     real = rm.a_real_steps
     n_groups = int(np.ceil(rm.n_bands / c))
+    # Output returns to INPUT space (original row order, padded like x) via
+    # one permutation scatter (~1% of the pipeline's traffic): apply is then
+    # layout-chainable — CG and power iteration can drive it like any other
+    # model (the reference's solver loop chains its SpMV the same way,
+    # kernel.cu:288-321).  Rows beyond dim are synthetic dst padding and
+    # are dropped by the mask.
+    keep = np.flatnonzero(rm.dst_rows < rm.dim)
+    scat_src = jnp.asarray(keep.astype(np.int32))
+    scat_dst = jnp.asarray(rm.dst_rows[keep].astype(np.int32))
+    x_pad_rows = rm.padded_x_rows
 
     def apply(dev, x_pad: jax.Array) -> jax.Array:
         x2d = x_pad.reshape(x_rows, LANES)
@@ -196,7 +207,9 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
         if rm.sp_val.size:
             y_dst = y_dst.at[dev["sp_dst"]].add(
                 dev["sp_val"] * x_pad[dev["sp_col"]])
-        return y_dst
+        # back to input space (chainable with prepare_x'd vectors)
+        return jnp.zeros(x_pad_rows, y_dst.dtype).at[scat_dst].set(
+            jnp.take(y_dst, scat_src))
 
     log.info("routed apply: A %d tiles (%d steps), B %d tiles (%d steps), "
              "chain %d, block %d bands (%.0f KB), spill %d",

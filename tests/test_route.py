@@ -156,6 +156,42 @@ class TestOracleParity:
         assert rel < 1e-6, rel
 
 
+class TestChainable:
+    def test_cg_solves_with_routed_model(self):
+        # apply returns input-space y, so the CG loop can chain it like any
+        # other model (kernel.cu:288-321 analog)
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+        from ehyb_spmv_gpu_tpu.models.solver import CgSolver
+
+        rng = np.random.default_rng(13)
+        dim = 4096
+        # SPD: strictly diagonally dominant symmetric random matrix
+        k = 6
+        row = np.repeat(np.arange(dim), k)
+        col = rng.integers(0, dim, dim * k)
+        keep = row != col
+        r2 = np.concatenate([row[keep], col[keep], np.arange(dim)])
+        c2 = np.concatenate([col[keep], row[keep], np.arange(dim)])
+        v2 = np.concatenate([np.full(keep.sum(), -0.1),
+                             np.full(keep.sum(), -0.1),
+                             np.full(dim, 4.0)])
+        key = r2.astype(np.int64) * dim + c2
+        o = np.argsort(key, kind="stable")
+        key, r2, c2, v2 = key[o], r2[o], c2[o], v2[o]
+        first = np.r_[True, key[1:] != key[:-1]]
+        seg = np.cumsum(first) - 1
+        vals = np.zeros(seg[-1] + 1)
+        np.add.at(vals, seg, v2)
+        m = MatrixCOO(n_rows=dim, n_cols=dim, row=r2[first].astype(np.int32),
+                      col=c2[first].astype(np.int32), val=vals)
+        model = RoutedSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        b = deterministic_x(dim)
+        res = CgSolver(model).solve(b, tol=1e-6, max_iters=300)
+        assert res.converged, res
+        assert np.linalg.norm(oracle_spmv(m, res.x) - b) \
+            <= 1e-5 * np.linalg.norm(b)
+
+
 class TestCache:
     def test_roundtrip(self, tmp_path):
         from ehyb_spmv_gpu_tpu.models.routed import (
