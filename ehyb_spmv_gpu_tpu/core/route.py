@@ -204,15 +204,20 @@ def _choose_group_geometry(band_steps: np.ndarray):
     padding; the search typically lands on larger blocks whose quantum sits
     just above c·median(band_steps).
     """
+    import os
+
+    # kernel bodies unroll s_b sub-tiles; cap available for compile-time
+    # experiments (the searched optimum on random_1m is 80)
+    sb_max = min(96, max(8, int(os.environ.get("EHYB_ROUTE_SB_MAX", "96"))))
     n_bands = band_steps.shape[0]
-    best = (MAX_BANDS_PER_BLOCK, S_B)
+    best = (MAX_BANDS_PER_BLOCK, min(S_B, sb_max))
     best_cost = None
     for c in range(1, MAX_BANDS_PER_BLOCK + 1):
         n_groups = cdiv(n_bands, c)
         pad_n = n_groups * c - n_bands
         gs = np.pad(band_steps, (0, pad_n)).reshape(n_groups, c).sum(axis=1)
-        for s_b in range(8, 97, 8):  # multiples of 8: the out block's
-            # sublane dim is s_b — keep it layout-aligned
+        for s_b in range(8, sb_max + 1, 8):  # multiples of 8: the out
+            # block's sublane dim is s_b — keep it layout-aligned
             q = s_b * TS
             gp = _round_up_arr(gs, q)
             tiles = int((gp // q).sum())
