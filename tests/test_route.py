@@ -156,6 +156,33 @@ class TestOracleParity:
         assert rel < 1e-6, rel
 
 
+class TestOddGeometries:
+    @pytest.mark.parametrize("dim,k,seed,empty_frac", [
+        (1000, 4, 1, 0.0),      # tiny non-pow2 dim (single window)
+        (5000, 7, 2, 0.3),      # empty rows
+        (131072, 3, 4, 0.5),    # very sparse, half-empty
+    ])
+    def test_oracle_parity(self, dim, k, seed, empty_frac):
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        rng = np.random.default_rng(seed)
+        rows = np.repeat(np.arange(dim), k)
+        if empty_frac:
+            live = rng.random(dim) > empty_frac
+            rows = rows[np.repeat(live, k)]
+        col = rng.integers(0, dim, rows.size)
+        _, ui = np.unique(rows.astype(np.int64) * dim + col,
+                          return_index=True)
+        m = MatrixCOO(n_rows=dim, n_cols=dim, row=rows[ui].astype(np.int32),
+                      col=col[ui].astype(np.int32),
+                      val=rng.standard_normal(ui.size))
+        model = RoutedSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        x = deterministic_x(dim)
+        y_ref = oracle_spmv(m, x)
+        rel = np.linalg.norm(model.matvec(x) - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, rel
+
+
 class TestChainable:
     def test_cg_solves_with_routed_model(self):
         # apply returns input-space y, so the CG loop can chain it like any
