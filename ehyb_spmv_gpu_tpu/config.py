@@ -133,6 +133,13 @@ class EhybConfig:
     #: both ways when chunk-sync padding is high and keeps the cheaper body by
     #: the measured per-vreg cycle model; 'never' disables the second attempt.
     relax_body: str = "auto"
+    #: Gather-wall delegation: 'auto' lets EhybSpmv.setup return the routed
+    #: model (models/routed.py) when the converted body's waste exceeds
+    #: ~97% — the regime where EVERY window-cached layout collapses and the
+    #: reference leans on hardware global gathers (kernel.cu:169-194);
+    #: 'never' keeps the EHYB body regardless.  One flagship model then
+    #: covers every regime, like the reference's single driver.
+    routed_delegate: str = "auto"
     #: Hub-row splitting (sell_rx): per-(row, 1024-window) entry groups
     #: larger than this move their surplus to synthetic overflow rows that
     #: fold back at combine time — without it a hub row serializes its

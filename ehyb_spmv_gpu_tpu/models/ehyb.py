@@ -324,6 +324,63 @@ class EhybSpmv(EhybXlaSpmv):
 
         return stream_body_fits(e_rx, np.dtype(self.config.dtype).itemsize)
 
+    #: Body-waste fraction past which EVERY window-cached layout has
+    #: collapsed (per-(slice,window-set) groups hold a handful of entries)
+    #: and the routed engine takes over — the reference's phase-2
+    #: global-gather regime (kernel.cu:169-194).
+    _ROUTED_WASTE_GATE = 0.97
+
+    def _maybe_delegate_routed(self, m: MatrixCOO):
+        """Return a routed model when the converted body shows the
+        gather-wall regime, else None (keep the EHYB body).
+
+        Post-conversion gate: the decision uses the REORDERED structure the
+        auto chain actually produced (a scrambled stencil recovers under
+        RCM and must NOT delegate), at the cost of one EHYB conversion —
+        amortized by the artifact cache.
+        """
+        cfg = self.config
+        if cfg.routed_delegate != "auto":
+            return None
+        if (np.dtype(cfg.dtype) != np.float32 or cfg.dword_values
+                or cfg.compensated_sum or m.n_rows != m.n_cols):
+            return None
+        if os.environ.get("EHYB_FORCE_PALLAS", "").lower() in (
+                "0", "false", "off", "no"):
+            return None                      # routed has no XLA apply
+        if m.dimension < (1 << 16) or m.nnz < (1 << 18):
+            return None  # small matrices run VMEM-resident either way
+        # The structural signal, mode-independent: mean fill of the
+        # post-reorder (128-row slice, 1024-col window) groups — what a
+        # window-gather sub-tile can hope to serve.  Sampled; the XLA
+        # path's stats can't be used (its plain-sell waste has no window
+        # component), and the Pallas quad body amortizes up to 4 windows,
+        # so the gate sits well below 1024/4/waste-gate ~ its break-even.
+        # Sample whole SLICES (not entries — per-entry strides bias the
+        # fill toward empty on large matrices): every 97th slice, all of
+        # its entries.
+        o2n = self.reordering.old_to_new
+        r_new = o2n[m.row.astype(np.int64)]
+        pick = (r_new // LANES) % 97 == 0
+        r_s = r_new[pick]
+        c_s = o2n[m.col[pick].astype(np.int64)]
+        gkey = (r_s // LANES) * (m.dimension // 1024 + 1) + c_s // 1024
+        fill = r_s.shape[0] / max(np.unique(gkey).shape[0], 1)
+        if fill > 6.0:
+            return None
+        from ..core.route import _choose_params
+        from .routed import RoutedSpmv
+
+        try:
+            _choose_params(m.dimension, m.nnz, None, None)
+        except ValueError as exc:            # beyond the router's dim cap
+            log.info("gather-wall structure (group fill %.1f) but routed "
+                     "infeasible (%s); keeping the EHYB body", fill, exc)
+            return None
+        log.info("gather-wall structure (post-reorder (slice,window) group "
+                 "fill %.1f): delegating to the routed engine", fill)
+        return RoutedSpmv(cfg).setup(m)
+
     def setup(self, m: MatrixCOO) -> "EhybSpmv":
         mode = self._pallas_mode()
         if mode:
@@ -366,6 +423,9 @@ class EhybSpmv(EhybXlaSpmv):
                 width_align=SUBTILES * TILE_STEPS, index_dtype=idx_dtype,
                 sliding_windows=sliding, features=feats)
         super().setup(m)
+        routed = self._maybe_delegate_routed(m)
+        if routed is not None:
+            return routed
         self._use_pallas = bool(mode)
         if self._use_pallas:
             from ..ops.ehyb_pallas import (X_RESIDENT_BYTES,

@@ -219,6 +219,39 @@ class TestChainable:
             <= 1e-5 * np.linalg.norm(b)
 
 
+class TestDelegation:
+    def test_flagship_delegates_on_gather_wall(self):
+        # fully unstructured: the flagship's own conversion shows >97% body
+        # waste and setup returns the routed engine (reference parity: one
+        # driver covers every regime, kernel.cu:169-194)
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = _random_coo(1 << 17, 3, seed=31)
+        model = EhybSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        assert isinstance(model, RoutedSpmv), type(model)
+        x = deterministic_x(m.dimension)
+        y_ref = oracle_spmv(m, x)
+        rel = np.linalg.norm(model.matvec(x) - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, rel
+
+    def test_structured_matrix_keeps_ehyb_body(self, poisson_mid):
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        model = EhybSpmv(EhybConfig(artifact_cache=False)).setup(poisson_mid)
+        assert not isinstance(model, RoutedSpmv)
+
+    def test_never_flag_disables_delegation(self):
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = _random_coo(1 << 17, 3, seed=31)
+        model = EhybSpmv(EhybConfig(
+            artifact_cache=False, routed_delegate="never")).setup(m)
+        assert not isinstance(model, RoutedSpmv)
+
+
 class TestCache:
     def test_roundtrip(self, tmp_path):
         from ehyb_spmv_gpu_tpu.models.routed import (
