@@ -34,6 +34,15 @@ import numpy as np
 from ..config import EhybConfig, round_up, LANES
 from ..core.coo import MatrixCOO
 from ..core.convert import coo_to_ehyb
+
+
+class _DelegateToRouted(Exception):
+    """Control-flow carrier: the ordering gate decided for the routed
+    engine; ``EhybSpmv.setup`` catches it and returns ``model``."""
+
+    def __init__(self, model):
+        super().__init__("gather-wall delegation")
+        self.model = model
 from ..core.ehyb import EhybMatrix
 from ..core.planner import make_plan, Plan
 from ..core.reorder import Reordering, identity_reordering, two_level_reorder
@@ -120,6 +129,11 @@ class EhybXlaSpmv(SpmvModel):
         }
         return dev
 
+    def _post_order_hook(self, m: MatrixCOO) -> None:
+        """Called once the reordering is decided, before any conversion.
+        EhybSpmv overrides it to abort into the routed engine on
+        gather-wall structures (raising :class:`_DelegateToRouted`)."""
+
     def setup(self, m: MatrixCOO) -> "EhybXlaSpmv":
         import time as _time
 
@@ -188,6 +202,7 @@ class EhybXlaSpmv(SpmvModel):
                     m, labels.astype(np.int32), self.plan, sort_rows=True)
 
         self.setup_seconds["order"] = _time.perf_counter() - _t0
+        self._post_order_hook(m)   # EhybSpmv's routed-delegation gate
         _t1 = _time.perf_counter()
         m_r = self.reordering.apply_to_matrix(m)
         if (cfg.body_layout == "sell_mw" and cfg.relax_body == "auto"
@@ -324,20 +339,25 @@ class EhybSpmv(EhybXlaSpmv):
 
         return stream_body_fits(e_rx, np.dtype(self.config.dtype).itemsize)
 
-    #: Body-waste fraction past which EVERY window-cached layout has
-    #: collapsed (per-(slice,window-set) groups hold a handful of entries)
-    #: and the routed engine takes over — the reference's phase-2
-    #: global-gather regime (kernel.cu:169-194).
-    _ROUTED_WASTE_GATE = 0.97
+    #: Post-reorder (slice, window) group fill below which EVERY
+    #: window-cached layout has collapsed (a gathered window serves a
+    #: handful of entries) and the routed engine takes over — the
+    #: reference's phase-2 global-gather regime (kernel.cu:169-194).
+    _ROUTED_FILL_GATE = 6.0
+
+    def _post_order_hook(self, m: MatrixCOO) -> None:
+        routed = self._maybe_delegate_routed(m)
+        if routed is not None:
+            raise _DelegateToRouted(routed)
 
     def _maybe_delegate_routed(self, m: MatrixCOO):
-        """Return a routed model when the converted body shows the
+        """Return a routed model when the post-reorder structure shows the
         gather-wall regime, else None (keep the EHYB body).
 
-        Post-conversion gate: the decision uses the REORDERED structure the
-        auto chain actually produced (a scrambled stencil recovers under
-        RCM and must NOT delegate), at the cost of one EHYB conversion —
-        amortized by the artifact cache.
+        Runs right after the ordering is decided and BEFORE any conversion
+        (a scrambled stencil recovers under RCM and must NOT delegate; a
+        truly random matrix must not pay the EHYB conversion chain it will
+        never use).
         """
         cfg = self.config
         if cfg.routed_delegate != "auto":
@@ -366,7 +386,7 @@ class EhybSpmv(EhybXlaSpmv):
         c_s = o2n[m.col[pick].astype(np.int64)]
         gkey = (r_s // LANES) * (m.dimension // 1024 + 1) + c_s // 1024
         fill = r_s.shape[0] / max(np.unique(gkey).shape[0], 1)
-        if fill > 6.0:
+        if fill > self._ROUTED_FILL_GATE:
             return None
         from ..core.route import _choose_params
         from .routed import RoutedSpmv
@@ -422,10 +442,10 @@ class EhybSpmv(EhybXlaSpmv):
                 self.config, window_rows=WINDOW_ALIGN, body_layout=layout,
                 width_align=SUBTILES * TILE_STEPS, index_dtype=idx_dtype,
                 sliding_windows=sliding, features=feats)
-        super().setup(m)
-        routed = self._maybe_delegate_routed(m)
-        if routed is not None:
-            return routed
+        try:
+            super().setup(m)
+        except _DelegateToRouted as d:
+            return d.model
         self._use_pallas = bool(mode)
         if self._use_pallas:
             from ..ops.ehyb_pallas import (X_RESIDENT_BYTES,
