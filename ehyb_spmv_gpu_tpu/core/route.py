@@ -41,11 +41,13 @@ conflicts) SPILL to a small XLA gather tail, like the ER tail of the main
 format.  Reference parity: this subsumes the reference's ER phase for the
 unstructured regime (``kernel.cu:169-194``) with a TPU-native mechanism.
 
-Scale limit (enforced): the stage-B select chain is bounded at 16
-sub-windows, so n_win * P <= 16384 — with the Poisson slack P >= 2*mu that
-means dim <= ~2M columns at 16 nnz/row.  Beyond that a second transpose
-level (the same trick applied hierarchically) would be needed; the corpus'
-adversarial entry (random_1m) sits inside the limit.
+Scale: the stage-B select chain is bounded at 16 sub-windows, so
+n_win * P <= 16384 — with the Poisson slack P >= 2*mu a SINGLE instance
+covers up to ~2M columns at 16 nnz/row.  Beyond that the model layer
+(models/routed.py) splits the matrix into 1M-column vertical blocks, one
+routed instance each (the band side is unconstrained, and the chooser
+scales R up to keep the cells ~half full at the thinner per-block row
+density), and sums the blocks' input-space outputs — no size cliff.
 """
 from __future__ import annotations
 
@@ -97,6 +99,8 @@ class RoutedMatrix:
     n_bg: int            # band rows of the A layout = ceil(n_bands / 128)
     bands_per_block: int  # stage-B block covers this many consecutive bands
     s_b: int             # stage-B sub-tiles per grid step (searched)
+    out_rows: int        # input-space output length (== padded_x_rows when
+    #                      square; the full-matrix row padding for blocks)
     # stage A (gather-multiply)
     a_col: np.ndarray    # int16 (hi<<7)|lo, slot-attr layout [a_steps_pad,128]
     a_val: np.ndarray    # f32 same shape
@@ -146,48 +150,53 @@ class RoutedMatrix:
         }
 
 
-def _choose_params(dim: int, nnz: int, R: Optional[int], P: Optional[int]):
-    """Pick (R rows/band, P stripes): cell occupancy mu = R*(nnz/dim)/n_win
-    wants ~P/2 Poisson slack against cell overflow, under the chain bound
-    n_win*P <= 16*1024 and the alignment constraints (P*n_bg % 8 == 0 via
-    P % 8 == 0; n_win*P % WIN == 0, satisfied by rounding n_win UP — the
-    padded windows carry no entries, only ~(pad/n_win) wasted A steps).
+def _choose_params(n_rows: int, n_cols: int, nnz: int,
+                   R: Optional[int], P: Optional[int]):
+    """Pick (R rows/band, P stripes): cell occupancy mu = R*(nnz/n_rows)/
+    n_win wants ~P/2 Poisson slack against cell overflow, under the chain
+    bound n_win*P <= 16*1024 and the alignment constraints (P*n_bg % 8 == 0
+    via P % 8 == 0; n_win*P % WIN == 0, satisfied by rounding n_win or P
+    UP, whichever yields the smaller chain).
 
-    chain ≈ 2·R·(nnz/dim)/WIN is dim-independent, so when the caller pins
-    neither R nor P we walk R down from 512 by 128s until the chain fits —
-    at R=128 that supports up to ~64 nnz/row before the single-level router
-    gives up."""
-    n_win0 = cdiv(dim, WIN)
+    Among the feasible candidates the chooser maximizes the A fill mu/P,
+    tie-broken toward larger mu (the absolute Poisson overflow tail shrinks
+    with mu at equal slack ratio).  The upward R ladder matters for
+    COLUMN-BLOCK instances (wide row side, narrow column side): per-block
+    row density is k/n_blocks, and only a large R keeps the cells
+    occupied."""
+    n_win0 = cdiv(n_cols, WIN)
     r_candidates = ([R] if R is not None
-                    else [512, 384, 256, LANES])
+                    else [LANES, 256, 384, 512, 1024, 2048, 4096,
+                          8192, 16384, 32768])
     last_err = None
+    best = None     # (fill, mu, -chain, n_win, r, p)
     for r in r_candidates:
-        r = max(LANES, round_up(r, LANES))
+        r = max(LANES, round_up(min(r, round_up(n_rows, LANES)), LANES))
+        mu = r * (nnz / max(n_rows, 1)) / n_win0
         if P is None:
-            mu = r * (nnz / max(dim, 1)) / n_win0
             p = round_up(int(np.ceil(2.0 * max(mu, 1.0))), 8)
         else:
             p = round_up(max(P, 8), 8)
         # n_win*P must be a whole number of 1024-element B sub-windows
-        # (stage-T/B group tiling granularity).  Two ways to get there:
-        # pad the window count up to the q-multiple, or pad P up to a
-        # multiple of WIN/gcd(n_win0, WIN).  Which is cheaper depends on
-        # the geometry (small-dim matrices have tiny n_win0, where padding
-        # it 16x explodes the chain but padding P is nearly free) — take
-        # the candidate with the smaller chain.
+        # (stage-T/B group tiling granularity).
         q = WIN // int(np.gcd(p, WIN))
         cand = [(round_up(n_win0, q), p)]
         pq = WIN // int(np.gcd(n_win0, WIN))
         cand.append((n_win0, round_up(p, pq)))
         n_win, p = min(cand, key=lambda t: t[0] * t[1])
         chain = n_win * p // WIN
-        if chain <= MAX_CHAIN:
-            return n_win, r, p
-        last_err = (f"R={r} P={p} n_win={n_win} -> chain={chain} "
-                    f"(cap {MAX_CHAIN})")
+        if chain > MAX_CHAIN:
+            last_err = (f"R={r} P={p} n_win={n_win} -> chain={chain} "
+                        f"(cap {MAX_CHAIN})")
+            continue
+        key = (min(mu, p) / p, mu, -chain)
+        if best is None or key > best[0]:
+            best = (key, n_win, r, p)
+    if best is not None:
+        return best[1], best[2], best[3]
     raise ValueError(
         f"routed format infeasible: {last_err}; matrix too dense for the "
-        f"single-level router (needs nnz/dim <~ {MAX_CHAIN * WIN // 256})")
+        f"single-level router (needs nnz/row <~ {MAX_CHAIN * WIN // 256})")
 
 
 #: Stage-B step budget per dst slice (the colorer's single-uint64 mask width;
@@ -318,13 +327,20 @@ def _assign_steps_b(dslice: np.ndarray, dlane: np.ndarray,
 
 
 def build_routed(m: MatrixCOO, R: Optional[int] = None,
-                 P: Optional[int] = None) -> RoutedMatrix:
+                 P: Optional[int] = None,
+                 out_rows: Optional[int] = None) -> RoutedMatrix:
     """Build the routed format + static schedules from an (un-reordered) COO
     matrix.  Entries that overflow their stage-A cell (past P) or exhaust the
     stage-B step budget (MAX_COLORS) spill to the XLA tail.
+
+    Rectangular matrices are supported (column-block instances of a big
+    square SpMV): rows drive the band side, columns the window side.
+    ``out_rows`` sizes the input-space output vector (defaults to the
+    padded x rows — correct for square single-level use, where output and
+    input share the space).
     """
-    dim = m.dimension
-    n_win, R, P = _choose_params(dim, m.nnz, R, P)
+    dim = m.n_rows
+    n_win, R, P = _choose_params(m.n_rows, m.n_cols, m.nnz, R, P)
     n_bands = cdiv(round_up(dim, LANES), R)
     n_bg = cdiv(n_bands, LANES)
     gr = n_win * P // LANES          # sublane rows per band group
@@ -528,6 +544,7 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     return RoutedMatrix(
         dim=dim, n_win=n_win, P=P, R=R, n_bands=n_bands, n_bg=n_bg,
         bands_per_block=c, s_b=s_b,
+        out_rows=int(out_rows if out_rows is not None else n_win * WIN),
         a_col=a_col, a_val=a_val, a_win=a_win, a_real_steps=a_real_steps,
         b_idx=b_idx, b_gmap=b_gmap, b_boff=b_boff, b_reset=b_reset,
         b_last=b_last, sp_dst=sp_dst, sp_col=sp_cols.astype(np.int32),

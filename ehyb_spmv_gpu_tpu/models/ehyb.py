@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import EhybConfig, round_up, LANES
+from ..config import EhybConfig, cdiv, round_up, LANES
 from ..core.coo import MatrixCOO
 from ..core.convert import coo_to_ehyb
 
@@ -392,8 +392,12 @@ class EhybSpmv(EhybXlaSpmv):
         from .routed import RoutedSpmv
 
         try:
-            _choose_params(m.dimension, m.nnz, None, None)
-        except ValueError as exc:            # beyond the router's dim cap
+            # block-width feasibility — column-block mode lifts the dim cap,
+            # so only the per-row density can disqualify the router
+            _choose_params(m.dimension, min(m.dimension, 1 << 20),
+                           m.nnz // max(cdiv(m.dimension, 1 << 20), 1),
+                           None, None)
+        except ValueError as exc:            # too dense for the router
             log.info("gather-wall structure (group fill %.1f) but routed "
                      "infeasible (%s); keeping the EHYB body", fill, exc)
             return None

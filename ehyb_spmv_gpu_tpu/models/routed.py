@@ -6,49 +6,60 @@ regime with phase-2 global-memory gathers (``kernel.cu:169-194``), the TPU
 equivalent is the three-stage routed pipeline of ``core/route.py`` +
 ``ops/route_pallas.py``.
 
-Scope (documented limits): f32 values, square matrices, dim <= ~2M (the
-single-level router's select-chain bound), single chip.  The flagship EHYB
-model remains the right tool everywhere the reorderer can recover structure;
-``scripts/sweep.py`` benchmarks both on the unstructured corpus entries.
+Beyond the single-level router's select-chain bound (~2M columns at
+16 nnz/row) the model switches to COLUMN-BLOCK mode: the matrix splits into
+1M-column vertical blocks, each block runs its own routed instance (rows
+drive the band side and are unconstrained; per-block R is scaled up so the
+cells stay ~half full), and the blocks' input-space outputs sum — no size
+cliff, matching the reference kernel's any-size property.
+
+Scope (documented limits): f32 values, square matrices, single chip.  The
+flagship EHYB model remains the right tool everywhere the reorderer can
+recover structure, and delegates HERE automatically when it cannot
+(``EhybSpmv._maybe_delegate_routed``).
 """
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
-from typing import Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import EhybConfig, LANES, round_up
+from ..config import LANES, cdiv, round_up
 from ..core.coo import MatrixCOO
-from ..core.route import RoutedMatrix, build_routed
+from ..core.route import WIN, RoutedMatrix, build_routed
 from ..utils.log import get_logger
 from .base import SpmvModel
 
 log = get_logger(__name__)
 
 #: Bump on any route-builder semantic change.
-ROUTE_FORMAT_VERSION = 4  # 4: searched (c, S_B) group geometry (group
-# padding 28% -> ~2%); 3: B-slot-balancing stage-A colorer (b_steps -18%);
-# 2: class-aware native stage-A colorer (spill 210k -> structural floor)
+ROUTE_FORMAT_VERSION = 5  # 5: rectangular blocks + out_rows field; 4:
+# searched (c, S_B) group geometry; 3: B-slot-balancing stage-A colorer;
+# 2: class-aware native stage-A colorer
+
+#: Column width of one block in block mode (chain stays <= 16 regardless of
+#: dimension; per-block R scales to keep the A cells ~half full).
+BLOCK_COLS = 1 << 20
 
 
-def _cache_path(m: MatrixCOO, cache_dir: Optional[str]) -> str:
+def _cache_path(m: MatrixCOO, cache_dir: Optional[str],
+                block: str = "") -> str:
     from ..core.cache import DEFAULT_CACHE_DIR, matrix_fingerprint
 
     d = cache_dir or DEFAULT_CACHE_DIR
     return os.path.join(
-        d, f"{matrix_fingerprint(m)}-route{ROUTE_FORMAT_VERSION}.npz")
+        d, f"{matrix_fingerprint(m)}-route{ROUTE_FORMAT_VERSION}{block}.npz")
 
 
 _ARRAY_FIELDS = ("a_col", "a_val", "a_win", "b_idx", "b_gmap", "b_boff",
                  "b_reset", "b_last", "sp_dst", "sp_col", "sp_val",
                  "dst_rows")
 _SCALAR_FIELDS = ("dim", "n_win", "P", "R", "n_bands", "n_bg",
-                  "bands_per_block", "s_b", "a_real_steps")
+                  "bands_per_block", "s_b", "out_rows", "a_real_steps")
 
 
 def _save_routed(rm: RoutedMatrix, path: str) -> None:
@@ -79,8 +90,16 @@ def _load_routed(path: str) -> Optional[RoutedMatrix]:
         return None
 
 
+def _block_ranges(dim: int) -> List[tuple]:
+    """Column ranges [(lo, hi), ...] of the vertical blocks."""
+    n_blocks = cdiv(dim, BLOCK_COLS)
+    return [(b * BLOCK_COLS, min((b + 1) * BLOCK_COLS, dim))
+            for b in range(n_blocks)]
+
+
 class RoutedSpmv(SpmvModel):
-    """Three-stage routed SpMV (gather-multiply → transpose → route-reduce)."""
+    """Three-stage routed SpMV (gather-multiply → transpose → route-reduce),
+    column-blocked past the single-level chain bound."""
 
     name = "ehyb_routed"
 
@@ -93,39 +112,105 @@ class RoutedSpmv(SpmvModel):
         return "1" if jax.default_backend() == "tpu" else "interpret"
 
     def setup(self, m: MatrixCOO) -> "RoutedSpmv":
-        from ..ops.route_pallas import make_routed_apply
+        from ..core.route import _choose_params
 
         self.m = m
-        cfg = self.config
         self.setup_seconds = {}
-        t0 = time.perf_counter()
-        rm = None
-        path = _cache_path(m, cfg.cache_dir)
-        if cfg.artifact_cache:
-            rm = _load_routed(path)
-        if rm is None:
-            rm = build_routed(m)
-            if cfg.artifact_cache:
-                _save_routed(rm, path)
-            self.setup_seconds["convert"] = time.perf_counter() - t0
-        else:
-            self.setup_seconds["cache_load"] = time.perf_counter() - t0
-        self.routed = rm
         self.ehyb = None  # bench introspection: no EHYB stats container
-        self.dev = rm.to_jax(dtype="float32")
-        self._apply = make_routed_apply(
-            rm, interpret=(self._mode() == "interpret"))
-        self.setup_seconds["total"] = time.perf_counter() - t0
+        dim = m.dimension
+        try:
+            _choose_params(dim, dim, m.nnz, None, None)
+            single = True
+        except ValueError:
+            single = False
+        if single:
+            self._setup_blocks(m, [(0, dim)])
+        else:
+            ranges = _block_ranges(dim)
+            log.info("routed: chain bound exceeded at dim=%d — COLUMN-BLOCK "
+                     "mode, %d blocks of <=%d cols", dim, len(ranges),
+                     BLOCK_COLS)
+            self._setup_blocks(m, ranges)
         log.info("%s ready: setup %s", self.name,
                  {k: round(v, 2) for k, v in self.setup_seconds.items()})
         return self
+
+    def _setup_blocks(self, m: MatrixCOO, ranges: List[tuple]) -> None:
+        from ..core.route import _choose_params
+        from ..ops.route_pallas import make_routed_apply
+
+        cfg = self.config
+        t0 = time.perf_counter()
+        dim = m.dimension
+        n_blocks = len(ranges)
+        col = np.asarray(m.col)
+        if n_blocks > 1:
+            # The shared in/out vector length must cover every block's
+            # padded window span (the chooser may round a block's n_win up
+            # for the n_win*P % 1024 alignment) — precompute each block's
+            # geometry to size it, and pin the same (R, P) at build time.
+            nnz_b = np.bincount(col // BLOCK_COLS, minlength=n_blocks)
+            geo = []
+            L = round_up(dim, WIN)
+            for i, (lo, hi) in enumerate(ranges):
+                n_win_i, r_i, p_i = _choose_params(
+                    m.n_rows, hi - lo, int(nnz_b[i]), None, None)
+                geo.append((r_i, p_i))
+                L = max(L, lo + n_win_i * WIN)
+            self._x_rows = L
+            out_rows = L
+        else:
+            geo = [(None, None)]
+            self._x_rows = None
+            out_rows = None  # builder default (square case)
+        self.blocks: List[RoutedMatrix] = []
+        self._applies = []
+        self.dev = []
+        self._lo = []
+        interpret = self._mode() == "interpret"
+        convert_s = 0.0
+        for i, (lo, hi) in enumerate(ranges):
+            tag = f"-b{i}of{n_blocks}" if n_blocks > 1 else ""
+            path = _cache_path(m, cfg.cache_dir, tag)
+            rm = _load_routed(path) if cfg.artifact_cache else None
+            if rm is None:
+                t1 = time.perf_counter()
+                if n_blocks > 1:
+                    sel = (col >= lo) & (col < hi)
+                    sub = MatrixCOO(
+                        n_rows=m.n_rows, n_cols=hi - lo,
+                        row=np.asarray(m.row)[sel],
+                        col=col[sel] - lo,
+                        val=np.asarray(m.val)[sel])
+                    rm = build_routed(sub, R=geo[i][0], P=geo[i][1],
+                                      out_rows=out_rows)
+                else:
+                    rm = build_routed(m, out_rows=out_rows)
+                convert_s += time.perf_counter() - t1
+                if cfg.artifact_cache:
+                    _save_routed(rm, path)
+            self.blocks.append(rm)
+            self.dev.append(rm.to_jax(dtype="float32"))
+            self._applies.append(make_routed_apply(rm, interpret=interpret))
+            self._lo.append(lo)
+        if convert_s:
+            self.setup_seconds["convert"] = convert_s
+        else:
+            self.setup_seconds["cache_load"] = time.perf_counter() - t0
+        self.routed = self.blocks[0]   # introspection convenience
+        self.setup_seconds["total"] = time.perf_counter() - t0
+
+    @property
+    def _padded_x_rows(self) -> int:
+        return (self._x_rows if self._x_rows is not None
+                else self.blocks[0].padded_x_rows)
 
     def device_operands(self):
         # the A-side streams alone exceed any VMEM prestage budget: args mode
         return self.dev
 
     def prepare_x(self, x: np.ndarray) -> jax.Array:
-        xp = np.zeros(self.routed.padded_x_rows, dtype=np.float32)
+        xp = np.zeros(self._padded_x_rows, dtype=np.float32)
         xp[: self.m.dimension] = np.asarray(x, dtype=np.float32)
         return jnp.asarray(xp)
 
@@ -144,22 +229,30 @@ class RoutedSpmv(SpmvModel):
         the nnz bytes of a direct format, traded against the ~14
         cyc/element gather wall.
         """
-        rm = self.routed
-        a_slots = rm.a_col.shape[0] * LANES
-        b_slots = rm.b_idx.shape[0] * LANES
-        prod = rm.a_real_steps * LANES * 4
-        return int(a_slots * (2 + 4)          # a_col + a_val
-                   + a_slots * 4              # product write (padded)
-                   + 2 * prod                 # transpose read + write
-                   + prod                     # B block reads (once per group)
-                   + b_slots * 2              # b_idx
-                   + b_slots // 8 * 4         # y tile writes
-                   + rm.padded_x_rows * 12    # x read + in-space y scatter
-                   + rm.sp_val.size * 12)     # spill tail
+        total = self._padded_x_rows * (4 + 8 * len(self.blocks))
+        for rm in self.blocks:
+            a_slots = rm.a_col.shape[0] * LANES
+            b_slots = rm.b_idx.shape[0] * LANES
+            prod = rm.a_real_steps * LANES * 4
+            total += int(a_slots * (2 + 4)     # a_col + a_val
+                         + a_slots * 4         # product write (padded)
+                         + 2 * prod            # transpose read + write
+                         + prod                # B block reads (1x per group)
+                         + b_slots * 2         # b_idx
+                         + b_slots // 8 * 4    # y tile writes
+                         + rm.sp_val.size * 12)  # spill tail
+        return total
 
     def apply(self, x_dev: jax.Array) -> jax.Array:
-        return self._apply(self.dev, x_dev)
+        return self.apply_operands(self.dev, x_dev)
 
     def apply_operands(self, operands, x_dev):
-        dev = operands if operands is not None else self.dev
-        return self._apply(dev, x_dev)
+        devs = operands if operands is not None else self.dev
+        y = None
+        for rm, ap, dv, lo in zip(self.blocks, self._applies, devs,
+                                  self._lo):
+            xs = (x_dev if len(self.blocks) == 1
+                  else jax.lax.slice(x_dev, (lo,), (lo + rm.padded_x_rows,)))
+            yb = ap(dv, xs)
+            y = yb if y is None else y + yb
+        return y

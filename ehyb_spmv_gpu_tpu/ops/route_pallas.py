@@ -183,7 +183,7 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
     keep = np.flatnonzero(rm.dst_rows < rm.dim)
     scat_src = jnp.asarray(keep.astype(np.int32))
     scat_dst = jnp.asarray(rm.dst_rows[keep].astype(np.int32))
-    x_pad_rows = rm.padded_x_rows
+    out_rows = rm.out_rows
 
     def apply(dev, x_pad: jax.Array) -> jax.Array:
         x2d = x_pad.reshape(x_rows, LANES)
@@ -208,7 +208,7 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
             y_dst = y_dst.at[dev["sp_dst"]].add(
                 dev["sp_val"] * x_pad[dev["sp_col"]])
         # back to input space (chainable with prepare_x'd vectors)
-        return jnp.zeros(x_pad_rows, y_dst.dtype).at[scat_dst].set(
+        return jnp.zeros(out_rows, y_dst.dtype).at[scat_dst].set(
             jnp.take(y_dst, scat_src))
 
     log.info("routed apply: A %d tiles (%d steps), B %d tiles (%d steps), "

@@ -32,20 +32,29 @@ def _random_coo(dim, k, seed=11):
 class TestChooseParams:
     def test_random_1m_geometry_feasible(self):
         # the adversarial corpus entry: 2^20 rows, ~16 nnz/row
-        n_win, R, P = _choose_params(1 << 20, 16 << 20, None, None)
+        n_win, R, P = _choose_params(1 << 20, 1 << 20, 16 << 20, None, None)
         assert n_win * P % WIN == 0
         assert n_win * P // WIN <= 16
         assert n_win >= (1 << 20) // WIN
 
     def test_non_multiple_dim_pads_windows(self):
         # dim = 1e6 -> 977 raw windows; padding must make n_win*P % 1024 == 0
-        n_win, R, P = _choose_params(1_000_000, 16_000_000, None, None)
+        n_win, R, P = _choose_params(1_000_000, 1_000_000, 16_000_000,
+                                     None, None)
         assert n_win * P % WIN == 0
         assert n_win >= 977
 
     def test_too_dense_raises(self):
         with pytest.raises(ValueError):
-            _choose_params(1 << 20, 200 << 20, None, None)
+            _choose_params(1 << 20, 1 << 20, 200 << 20, None, None)
+
+    def test_block_geometry_scales_r_up(self):
+        # column-block instance: 16.7M rows x 1M cols, 1 nnz/row — the cells
+        # stay ~half full only with a large R
+        n_win, R, P = _choose_params(1 << 24, 1 << 20, 1 << 24, None, None)
+        assert n_win * P // WIN <= 16
+        mu = R * 1.0 / n_win
+        assert mu >= 0.4 * P, (R, P, mu)
 
 
 class TestBuildInvariants:
@@ -181,6 +190,38 @@ class TestOddGeometries:
         y_ref = oracle_spmv(m, x)
         rel = np.linalg.norm(model.matvec(x) - y_ref) / np.linalg.norm(y_ref)
         assert rel < 1e-6, rel
+
+
+class TestColumnBlocks:
+    def test_block_mode_oracle_parity(self):
+        # drive the column-block machinery directly with small ranges (the
+        # auto trigger needs multi-million dims): two vertical blocks, each
+        # its own routed instance, input-space outputs summed
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = _random_coo(1 << 15, 8, seed=17)
+        model = RoutedSpmv(EhybConfig(artifact_cache=False))
+        model.m = m
+        model.setup_seconds = {}
+        model.ehyb = None
+        model._setup_blocks(m, [(0, 1 << 14), (1 << 14, 1 << 15)])
+        assert len(model.blocks) == 2
+        x = deterministic_x(m.dimension)
+        y_ref = oracle_spmv(m, x)
+        y = model.recover_y(model.apply(model.prepare_x(x)))
+        rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, rel
+
+    def test_big_dim_triggers_block_mode(self):
+        # 2^22 cols x 16/row is past the single-level chain bound
+        from ehyb_spmv_gpu_tpu.core.route import _choose_params
+
+        with pytest.raises(ValueError):
+            _choose_params(1 << 22, 1 << 22, 16 << 22, None, None)
+        # ...but its 1M-col block slices are feasible with an upscaled R
+        n_win, R, P = _choose_params(1 << 22, 1 << 20, 4 << 20, None, None)
+        assert n_win * P // WIN <= 16
+        assert R >= 2048
 
 
 class TestChainable:
