@@ -189,7 +189,8 @@ def _choose_params(n_rows: int, n_cols: int, nnz: int,
             last_err = (f"R={r} P={p} n_win={n_win} -> chain={chain} "
                         f"(cap {MAX_CHAIN})")
             continue
-        key = (min(mu, p) / p, mu, -chain)
+        n_bg_c = cdiv(cdiv(round_up(n_rows, LANES), r), LANES)
+        key = (min(mu, p) / p, -n_win * p * n_bg_c, mu, -chain)
         if best is None or key > best[0]:
             best = (key, n_win, r, p)
     if best is not None:
