@@ -210,4 +210,8 @@ CORPUS = {
     # ER-exposure stress (VERDICT r2 missing #2) — how much does the relaxed
     # body absorb when there is nothing for the reorderer to find?
     "random_1m": lambda: random_general(1 << 20, 16, seed=17),
+    # 4M rows x ~8 random nnz/row: past the single-level router's
+    # select-chain bound — exercises the COLUMN-BLOCK routed mode (4
+    # vertical blocks), proving the gather-wall answer has no size cliff
+    "random_4m": lambda: random_general(1 << 22, 8, seed=23),
 }
