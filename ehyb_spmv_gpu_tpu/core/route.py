@@ -174,7 +174,10 @@ def _choose_params(n_rows: int, n_cols: int, nnz: int,
         r = max(LANES, round_up(min(r, round_up(n_rows, LANES)), LANES))
         mu = r * (nnz / max(n_rows, 1)) / n_win0
         if P is None:
-            p = round_up(int(np.ceil(2.0 * max(mu, 1.0))), 8)
+            # 1.9x, not 2.0x: P rounds up to a multiple of 8 anyway, and an
+            # exact-2x rule makes mu = 8.0001 jump P 16 -> 24 (chain
+            # infeasible or 50% extra A padding) over a rounding hair
+            p = round_up(int(np.ceil(1.9 * max(mu, 1.0))), 8)
         else:
             p = round_up(max(P, 8), 8)
         # n_win*P must be a whole number of 1024-element B sub-windows
