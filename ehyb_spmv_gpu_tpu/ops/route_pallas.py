@@ -185,9 +185,11 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
     scat_dst = jnp.asarray(rm.dst_rows[keep].astype(np.int32))
     out_rows = rm.out_rows
 
-    def apply(dev, x_pad: jax.Array) -> jax.Array:
+    def stage_a(dev, x_pad: jax.Array) -> jax.Array:
         x2d = x_pad.reshape(x_rows, LANES)
-        prod = a_call(a_win, dev["a_col"], dev["a_val"], x2d)
+        return a_call(a_win, dev["a_col"], dev["a_val"], x2d)
+
+    def stage_t(prod: jax.Array) -> jax.Array:
         # T: (w, p, bg, bl) -> (bg, bl, w, p); band groups become contiguous
         t4 = prod[:real].reshape(n_win, P, n_bg, LANES)
         tarr = jnp.transpose(t4, (2, 3, 0, 1))
@@ -200,9 +202,14 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
                                dtype=t2.dtype)], axis=0)
         elif need < n_bg * LANES:
             t2 = t2[:need]
-        t2 = t2.reshape(need * gr, LANES)
+        return t2.reshape(need * gr, LANES)
+
+    def stage_b(dev, t2: jax.Array) -> jax.Array:
         y3 = b_call(b_gmap, b_boff, b_reset, dev["b_idx"], t2)
-        y_dst = jnp.take(y3.reshape(-1, LANES), b_last, axis=0).reshape(-1)
+        return jnp.take(y3.reshape(-1, LANES), b_last, axis=0).reshape(-1)
+
+    def apply(dev, x_pad: jax.Array) -> jax.Array:
+        y_dst = stage_b(dev, stage_t(stage_a(dev, x_pad)))
         # spill tail: the XLA gather path (role of the ER tail)
         if rm.sp_val.size:
             y_dst = y_dst.at[dev["sp_dst"]].add(
@@ -210,6 +217,9 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
         # back to input space (chainable with prepare_x'd vectors)
         return jnp.zeros(out_rows, y_dst.dtype).at[scat_dst].set(
             jnp.take(y_dst, scat_src))
+
+    #: stage prefixes for scripts/route_breakdown.py
+    apply.stages = (stage_a, stage_t, stage_b)
 
     log.info("routed apply: A %d tiles (%d steps), B %d tiles (%d steps), "
              "chain %d, block %d bands (%.0f KB), spill %d",
