@@ -81,6 +81,10 @@ S_B = 32
 FLAT_STEP_EQ = 85
 #: Max bands per stage-B block (VMEM: bands_per_block * n_win*P * 4 B).
 MAX_BANDS_PER_BLOCK = 6
+#: Mean slice width below which the OCTET stage-B layout engages (8 slices
+#: per sub-tile, one sublane row each): thin widths waste most of a
+#: slice-per-sub-tile stream on the ceil-to-8 floor.
+OCTET_WIDTH_GATE = 12.0
 
 
 def _round_up_arr(a: np.ndarray, m: int) -> np.ndarray:
@@ -101,6 +105,8 @@ class RoutedMatrix:
     s_b: int             # stage-B sub-tiles per grid step (searched)
     out_rows: int        # input-space output length (== padded_x_rows when
     #                      square; the full-matrix row padding for blocks)
+    octet: int           # 1 = octet B layout (8 slices/sub-tile; b_last in
+    #                      rows), 0 = slice layout (b_last in sub-tiles)
     # stage A (gather-multiply)
     a_col: np.ndarray    # int16 (hi<<7)|lo, slot-attr layout [a_steps_pad,128]
     a_val: np.ndarray    # f32 same shape
@@ -445,20 +451,47 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
                              n_dst_slices)
     kept_b = step_b >= 0
     n_spill_b = int((~kept_b).sum())
-    # slice widths FROM the coloring (multiples of 8; >=8 even when empty so
-    # every slice owns a sub-tile for its y row)
+    # true slice widths FROM the coloring
     mxc = np.full(n_dst_slices, 0, dtype=np.int64)
     np.maximum.at(mxc, dslice[kept_b], step_b[kept_b] + 1)
-    widths = np.maximum(_round_up_arr(mxc, TS), TS)
 
     # ---- dst step layout: bands -> fixed-size band groups ---------------
+    # Two layouts share the group machinery (band_steps in ROWS either way):
+    #
+    # * normal: a sub-tile's 8 sublane rows are 8 consecutive STEPS of one
+    #   slice (reduce = cross-sublane sum) — per-slice rows round up to 8;
+    # * OCTET (thin-width regime, slices_per_band >= 8): a sub-tile's 8
+    #   rows are 8 consecutive SLICES at one step (reduce = elementwise
+    #   accumulate over an (8,128) scratch) — an octet of 8 width-sorted
+    #   slices costs max-width*8 rows instead of 8 * round8(width), a
+    #   2-4x stream cut when widths sit at 2-4 (the column-block regime,
+    #   where every slice holds only nnz/n_blocks-thinned rows but paid a
+    #   full sub-tile).
+    #
     # (c bands/block, S_B sub-tiles/grid step) are searched jointly: every
     # group pads to the S_B*TS grid quantum, and every grid step pays the
     # measured ~240 ns flat streamed-kernel cost (~FLAT_STEP_EQ steps'
     # worth), so a fixed quantum wastes up to ~28% of the stage-B stream
     # (random_1m, c=2/S_B=32: groups of ~184 steps padded to 256).
     slices_per_band = R // LANES
-    wb = widths.reshape(n_bands, slices_per_band)
+    spb = slices_per_band
+    env_oct = __import__("os").environ.get("EHYB_ROUTE_OCTET", "")
+    octet = (spb >= 8 and spb % 8 == 0
+             and (env_oct == "1"
+                  or (env_oct != "0"
+                      and float(mxc.mean()) < OCTET_WIDTH_GATE)))
+    if octet:
+        opb = spb // 8                       # octets per band
+        # slices within a band are density-sorted, so consecutive groups of
+        # 8 have near-equal widths; the octet pays its max
+        w_oct = np.maximum(
+            mxc.reshape(n_bands, opb, 8).max(axis=2), 1)
+        wb = w_oct * 8                       # rows per octet
+        segs_per_band = opb
+    else:
+        wb = np.maximum(_round_up_arr(mxc, TS), TS) \
+            .reshape(n_bands, spb)           # rows per slice
+        segs_per_band = spb
     band_steps = wb.sum(axis=1)               # multiples of 8
     c, s_b = _choose_group_geometry(band_steps)
     n_groups = cdiv(n_bands, c)
@@ -476,12 +509,17 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
                                  np.diff(np.append(for_first, n_bands)))
     band_base = grp_base[grp_of_band] + within_g
     within_b = np.cumsum(wb, axis=1) - wb
-    slice_base = (band_base[:, None] + within_b).reshape(-1)
+    seg_base = (band_base[:, None] + within_b).reshape(-1)
 
     b_steps_pad = int(grp_steps_pad.sum())
     b_idx = np.full((b_steps_pad, LANES), 1 << 14, dtype=np.int16)
     kk = kept_b
-    dstep = slice_base[dslice[kk]] + step_b[kk]
+    if octet:
+        swb = dslice[kk] % spb
+        seg_of = (dslice[kk] // spb) * segs_per_band + swb // TS
+        dstep = seg_base[seg_of] + step_b[kk] * TS + swb % TS
+    else:
+        dstep = seg_base[dslice[kk]] + step_b[kk]
     fl_slot = dstep * LANES + b_lane[kk]
     fl_lane = dstep * LANES + dlane[kk]
     bi = b_idx.reshape(-1)
@@ -493,6 +531,8 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
 
     # ---- per-sub-tile maps ----------------------------------------------
     n_bsub = b_steps_pad // TS
+    n_segs = n_bands * segs_per_band
+    seg_rows = wb.reshape(-1)
     step_band = np.full(b_steps_pad, -1, dtype=np.int64)
     band_spans = np.repeat(np.arange(n_bands), band_steps)
     pos = np.concatenate([
@@ -500,12 +540,17 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
         for b0, bs in zip(band_base, band_steps)]) \
         if n_bands else np.zeros(0, dtype=np.int64)
     step_band[pos] = band_spans
-    step_slice = np.full(b_steps_pad, -1, dtype=np.int64)
-    step_slice[pos] = np.repeat(np.arange(n_dst_slices), widths)
+    step_seg = np.full(b_steps_pad, -1, dtype=np.int64)
+    step_seg[pos] = np.repeat(np.arange(n_segs), seg_rows)
     sub_band = step_band.reshape(-1, TS)[:, 0]
     assert np.all((step_band.reshape(-1, TS) == sub_band[:, None])
                   | (step_band.reshape(-1, TS) < 0)), \
         "dst sub-tile straddles a band"
+    if octet:
+        assert np.all((step_seg.reshape(-1, TS)
+                       == step_seg.reshape(-1, TS)[:, :1])
+                      | (step_seg.reshape(-1, TS) < 0)), \
+            "octet sub-tile straddles an octet"
     # padding sub-tiles: attribute to the group's first band (mask rows)
     b_grid = b_steps_pad // (s_b * TS)
     sub_grp = np.repeat(np.arange(b_grid), s_b)
@@ -517,11 +562,20 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     b_boff = ((sub_band - b_gmap.repeat(s_b) * c) * gr).astype(np.int32)
     assert b_boff.min(initial=0) >= 0 \
         and b_boff.max(initial=0) <= (c - 1) * gr, "boff out of block"
-    sub_slice = step_slice.reshape(-1, TS)[:, 0]
+    sub_seg = step_seg.reshape(-1, TS)[:, 0]
     b_reset = np.zeros(n_bsub, dtype=np.int32)
     b_reset[0] = 1
-    b_reset[1:] = sub_slice[1:] != sub_slice[:-1]
-    b_last = ((slice_base + widths) // TS - 1).astype(np.int32)
+    b_reset[1:] = sub_seg[1:] != sub_seg[:-1]
+    if octet:
+        # b_last holds ROW indices into the (b_steps_pad, 128) y stream:
+        # slice s's total sits at its octet's final step, sublane s%8
+        sl = np.arange(n_dst_slices, dtype=np.int64)
+        seg_of_sl = (sl // spb) * segs_per_band + (sl % spb) // TS
+        b_last = (seg_base[seg_of_sl] + seg_rows[seg_of_sl] - TS
+                  + (sl % spb) % TS).astype(np.int32)
+    else:
+        # b_last holds SUB-TILE indices into the (n_bsub, 128) y stream
+        b_last = ((seg_base + seg_rows) // TS - 1).astype(np.int32)
 
     # ---- spill tail ------------------------------------------------------
     sp_rows = np.concatenate([row[~kept], kr[~kept_b]])
@@ -541,13 +595,13 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
         "b_fill": float(kept_b.sum() / max(b_steps_pad * LANES, 1)),
         "chain": n_win * P // WIN,
         "P": P, "R": R, "n_win": n_win, "n_bands": n_bands,
-        "bands_per_block": c, "s_b": s_b,
+        "bands_per_block": c, "s_b": s_b, "octet": int(octet),
     }
     log.info("routed format: %s", {k: (round(v, 4) if isinstance(v, float)
                                        else v) for k, v in stats.items()})
     return RoutedMatrix(
         dim=dim, n_win=n_win, P=P, R=R, n_bands=n_bands, n_bg=n_bg,
-        bands_per_block=c, s_b=s_b,
+        bands_per_block=c, s_b=s_b, octet=int(octet),
         out_rows=int(out_rows if out_rows is not None else n_win * WIN),
         a_col=a_col, a_val=a_val, a_win=a_win, a_real_steps=a_real_steps,
         b_idx=b_idx, b_gmap=b_gmap, b_boff=b_boff, b_reset=b_reset,

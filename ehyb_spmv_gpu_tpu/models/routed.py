@@ -37,9 +37,10 @@ from .base import SpmvModel
 log = get_logger(__name__)
 
 #: Bump on any route-builder semantic change.
-ROUTE_FORMAT_VERSION = 5  # 5: rectangular blocks + out_rows field; 4:
-# searched (c, S_B) group geometry; 3: B-slot-balancing stage-A colorer;
-# 2: class-aware native stage-A colorer
+ROUTE_FORMAT_VERSION = 6  # 6: octet stage-B layout for thin widths; 5:
+# rectangular blocks + out_rows field; 4: searched (c, S_B) group
+# geometry; 3: B-slot-balancing stage-A colorer; 2: class-aware native
+# stage-A colorer
 
 #: Column width of one block in block mode (chain stays <= 16 regardless of
 #: dimension; per-block R scales to keep the A cells ~half full).
@@ -59,7 +60,8 @@ _ARRAY_FIELDS = ("a_col", "a_val", "a_win", "b_idx", "b_gmap", "b_boff",
                  "b_reset", "b_last", "sp_dst", "sp_col", "sp_val",
                  "dst_rows")
 _SCALAR_FIELDS = ("dim", "n_win", "P", "R", "n_bands", "n_bg",
-                  "bands_per_block", "s_b", "out_rows", "a_real_steps")
+                  "bands_per_block", "s_b", "out_rows", "octet",
+                  "a_real_steps")
 
 
 def _save_routed(rm: RoutedMatrix, path: str) -> None:
@@ -239,7 +241,8 @@ class RoutedSpmv(SpmvModel):
                          + 2 * prod            # transpose read + write
                          + prod                # B block reads (1x per group)
                          + b_slots * 2         # b_idx
-                         + b_slots // 8 * 4    # y tile writes
+                         # y stream: every row (octet) vs one row/sub-tile
+                         + (b_slots * 4 if rm.octet else b_slots // 8 * 4)
                          + rm.sp_val.size * 12)  # spill tail
         return total
 

@@ -56,10 +56,15 @@ def _route_a_kernel(win_ref, col_ref, val_ref, x_ref, y_ref):
             val_ref[i * TS:(i + 1) * TS, :] * g
 
 
-def _make_route_b_kernel(chain: int, s_b: int):
+def _make_route_b_kernel(chain: int, s_b: int, octet: bool):
     """Gather from the band-group block via a ``chain``-way select over
-    (8,128) sub-windows at the sub-tile's dynamic band offset, then
-    reset-cumulative in-lane reduction (dst slices of 128 rows)."""
+    (8,128) sub-windows at the sub-tile's dynamic band offset, then reduce.
+
+    Two reductions (see core/route.py "dst step layout"): the slice layout
+    sums the sub-tile's 8 step-rows into a (1,128) slice accumulator; the
+    OCTET layout accumulates elementwise into an (8,128) scratch — each
+    sublane row is a different slice, so no cross-sublane sum exists and
+    the per-sub-tile output is the full accumulator."""
 
     def kernel(gmap_ref, boff_ref, reset_ref, idx_ref, blk_ref, y_ref,
                acc_ref):
@@ -88,9 +93,14 @@ def _make_route_b_kernel(chain: int, s_b: int):
             g = jnp.take_along_axis(rows, lane, axis=1)
             g = jnp.where(msk == 1, 0.0, g)
             keep = (reset_ref[k] == 0).astype(g.dtype)
-            acc = jnp.sum(g, axis=0) + acc_ref[0] * keep
-            acc_ref[0] = acc
-            y_ref[0, i, :] = acc
+            if octet:
+                acc = g + acc_ref[:] * keep
+                acc_ref[:] = acc
+                y_ref[0, i * TS:(i + 1) * TS, :] = acc
+            else:
+                acc = jnp.sum(g, axis=0) + acc_ref[0] * keep
+                acc_ref[0] = acc
+                y_ref[0, i, :] = acc
 
     return kernel
 
@@ -148,6 +158,8 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
 
     spt_b = s_b * TS
+    octet = bool(getattr(rm, "octet", 0))
+    y_rows_per_tile = spt_b if octet else s_b   # y stream rows per grid tile
     b_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b_tiles,),
@@ -157,18 +169,22 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
             pl.BlockSpec((c * gr, LANES), lambda t, g, o, r: (g[t], 0),
                          memory_space=pltpu.VMEM),   # T block (band group)
         ],
-        out_specs=pl.BlockSpec((1, s_b, LANES), lambda t, g, o, r: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, y_rows_per_tile, LANES),
+                               lambda t, g, o, r: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TS if octet else 1, LANES),
+                                   jnp.float32)],
     )
     b_cost = pl.CostEstimate(
         flops=int(rm.stats.get("nnz_routed", 1)),
-        bytes_accessed=int(b_steps_pad * LANES * 6
+        bytes_accessed=int(b_steps_pad * LANES * (6 if octet else 2)
+                           + (0 if octet else b_steps_pad // TS * LANES * 4)
                            + b_tiles * c * gr * LANES * 4),
         transcendentals=0)
     b_call = pl.pallas_call(
-        _make_route_b_kernel(chain, s_b), grid_spec=b_grid,
-        out_shape=jax.ShapeDtypeStruct((b_tiles, s_b, LANES), jnp.float32),
+        _make_route_b_kernel(chain, s_b, octet), grid_spec=b_grid,
+        out_shape=jax.ShapeDtypeStruct((b_tiles, y_rows_per_tile, LANES),
+                                       jnp.float32),
         cost_estimate=b_cost, interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
 

@@ -192,6 +192,44 @@ class TestOddGeometries:
         assert rel < 1e-6, rel
 
 
+class TestOctetLayout:
+    def test_octet_engages_and_matches_oracle(self):
+        # thin widths + >=8 slices/band: the octet B layout (8 slices per
+        # sub-tile) must engage and stay exact
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        # ~1 nnz/row -> balanced widths ~2-3; with 4 octets per band the
+        # octet maxes track the local quantiles (dim large enough that the
+        # grid-quantum padding amortizes over 32 bands; P<=64 keeps the
+        # native balance colorer engaged — its mask is one uint64)
+        m = _random_coo(1 << 17, 1, seed=41)
+        rm = build_routed(m, R=4096, P=64)
+        assert rm.octet == 1, rm.stats
+        # stream must be well below the slice layout's 8-step floor
+        assert rm.stats["b_steps"] < 0.7 * (m.dimension // 128) * 8, rm.stats
+        model = RoutedSpmv(EhybConfig(artifact_cache=False))
+        model.m = m
+        model.setup_seconds = {}
+        model.ehyb = None
+        model.blocks = [rm]
+        from ehyb_spmv_gpu_tpu.ops.route_pallas import make_routed_apply
+
+        model.dev = [rm.to_jax()]
+        model._applies = [make_routed_apply(rm, interpret=True)]
+        model._lo = [0]
+        model._x_rows = None
+        x = deterministic_x(m.dimension)
+        y_ref = oracle_spmv(m, x)
+        y = model.recover_y(model.apply(model.prepare_x(x)))
+        rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, rel
+
+    def test_wide_widths_keep_slice_layout(self):
+        m = _random_coo(1 << 14, 30, seed=43)      # widths ~40+
+        rm = build_routed(m, R=1024, P=512)
+        assert rm.octet == 0, rm.stats
+
+
 class TestColumnBlocks:
     def test_block_mode_oracle_parity(self):
         # drive the column-block machinery directly with small ranges (the
