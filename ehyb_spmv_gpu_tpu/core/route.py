@@ -52,6 +52,7 @@ density), and sums the blocks' input-space outputs — no size cliff.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -223,11 +224,14 @@ def _choose_group_geometry(band_steps: np.ndarray):
     padding; the search typically lands on larger blocks whose quantum sits
     just above c·median(band_steps).
     """
-    import os
-
     # kernel bodies unroll s_b sub-tiles; cap available for compile-time
     # experiments (the searched optimum on random_1m is 80)
-    sb_max = min(96, max(8, int(os.environ.get("EHYB_ROUTE_SB_MAX", "96"))))
+    try:
+        sb_max = int(os.environ.get("EHYB_ROUTE_SB_MAX", "96"))
+    except ValueError:
+        log.warning("ignoring malformed EHYB_ROUTE_SB_MAX")
+        sb_max = 96
+    sb_max = min(96, max(8, sb_max))
     n_bands = band_steps.shape[0]
     best = (MAX_BANDS_PER_BLOCK, min(S_B, sb_max))
     best_cost = None
@@ -475,7 +479,7 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     # (random_1m, c=2/S_B=32: groups of ~184 steps padded to 256).
     slices_per_band = R // LANES
     spb = slices_per_band
-    env_oct = __import__("os").environ.get("EHYB_ROUTE_OCTET", "")
+    env_oct = os.environ.get("EHYB_ROUTE_OCTET", "")
     octet = (spb >= 8 and spb % 8 == 0
              and (env_oct == "1"
                   or (env_oct != "0"
@@ -501,7 +505,6 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     grp_steps_pad = _round_up_arr(grp_steps, s_b * TS)
     grp_base = np.concatenate([[0], np.cumsum(grp_steps_pad)[:-1]])
     # band base inside its group
-    within_g = np.zeros(n_bands, dtype=np.int64)
     for_first = np.flatnonzero(np.r_[True, grp_of_band[1:]
                                      != grp_of_band[:-1]])
     cum_b = np.cumsum(band_steps) - band_steps
@@ -553,7 +556,6 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
             "octet sub-tile straddles an octet"
     # padding sub-tiles: attribute to the group's first band (mask rows)
     b_grid = b_steps_pad // (s_b * TS)
-    sub_grp = np.repeat(np.arange(b_grid), s_b)
     step_grp = np.searchsorted(grp_base, np.arange(b_steps_pad),
                                side="right") - 1
     sub_grp = step_grp.reshape(-1, TS)[:, 0]

@@ -166,6 +166,11 @@ class EhybXlaSpmv(SpmvModel):
             hit = load_artifacts(m, cfg, cfg.cache_dir)
             if hit is not None:
                 self.ehyb, self.reordering = hit
+                # the routed-delegation gate must see cache hits too: a
+                # pre-delegation (or routed_delegate='never') run may have
+                # cached EHYB artifacts for a gather-wall matrix, and the
+                # warm-cache path must not silently keep the collapsed body
+                self._post_order_hook(m)
                 if self.ehyb.step_win_b.size and cfg.body_layout != "sell_rx":
                     # artifact was converted after the auto-switch: mirror it
                     # on the config so apply-time logic agrees with the layout
@@ -393,17 +398,22 @@ class EhybSpmv(EhybXlaSpmv):
 
         try:
             # block-width feasibility — column-block mode lifts the dim cap,
-            # so only the per-row density can disqualify the router
+            # so only the per-row density can disqualify the router.  The
+            # probe uses MEAN per-block density; the real per-block build
+            # below can still fail on column-skewed matrices, so it is
+            # guarded too (the gate's contract is "keep the EHYB body when
+            # routed cannot run", never to crash setup).
             _choose_params(m.dimension, min(m.dimension, 1 << 20),
                            m.nnz // max(cdiv(m.dimension, 1 << 20), 1),
                            None, None)
+            log.info("gather-wall structure (post-reorder (slice,window) "
+                     "group fill %.1f): delegating to the routed engine",
+                     fill)
+            return RoutedSpmv(cfg).setup(m)
         except ValueError as exc:            # too dense for the router
             log.info("gather-wall structure (group fill %.1f) but routed "
                      "infeasible (%s); keeping the EHYB body", fill, exc)
             return None
-        log.info("gather-wall structure (post-reorder (slice,window) group "
-                 "fill %.1f): delegating to the routed engine", fill)
-        return RoutedSpmv(cfg).setup(m)
 
     def setup(self, m: MatrixCOO) -> "EhybSpmv":
         mode = self._pallas_mode()

@@ -52,8 +52,17 @@ def _cache_path(m: MatrixCOO, cache_dir: Optional[str],
     from ..core.cache import DEFAULT_CACHE_DIR, matrix_fingerprint
 
     d = cache_dir or DEFAULT_CACHE_DIR
+    # experiment env knobs change the built schedule — key them so an A/B
+    # run never loads the other arm's artifact
+    env = ""
+    for var, tag in (("EHYB_ROUTE_SB_MAX", "sb"), ("EHYB_ROUTE_OCTET", "oc")):
+        v = os.environ.get(var, "")
+        if v:
+            env += f"-{tag}{v}"
     return os.path.join(
-        d, f"{matrix_fingerprint(m)}-route{ROUTE_FORMAT_VERSION}{block}.npz")
+        d,
+        f"{matrix_fingerprint(m)}-route{ROUTE_FORMAT_VERSION}{env}{block}"
+        ".npz")
 
 
 _ARRAY_FIELDS = ("a_col", "a_val", "a_win", "b_idx", "b_gmap", "b_boff",
@@ -151,7 +160,12 @@ class RoutedSpmv(SpmvModel):
             # padded window span (the chooser may round a block's n_win up
             # for the n_win*P % 1024 alignment) — precompute each block's
             # geometry to size it, and pin the same (R, P) at build time.
-            nnz_b = np.bincount(col // BLOCK_COLS, minlength=n_blocks)
+            # nnz per block from the ACTUAL ranges (callers/tests may pass
+            # non-BLOCK_COLS-aligned ones).
+            los = np.array([lo for lo, _ in ranges])
+            nnz_b = np.bincount(
+                np.searchsorted(los, col, side="right") - 1,
+                minlength=n_blocks)
             geo = []
             L = round_up(dim, WIN)
             for i, (lo, hi) in enumerate(ranges):

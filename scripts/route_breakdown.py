@@ -69,14 +69,16 @@ def main():
         return outs[0] if len(outs) == 1 else sum(o.ravel()[0] for o in outs)
 
     def pref_atb(xv):
-        y = None
+        # per-block stage-B outputs live in per-block dst orderings with
+        # per-block lengths (n_bands*R can differ) — reduce each to a
+        # scalar for the timing chain instead of summing arrays
+        outs = []
         for rm, ap, dv, lo in zip(model.blocks, model._applies, model.dev,
                                   model._lo):
             xs = (xv if len(model.blocks) == 1
                   else jax.lax.slice(xv, (lo,), (lo + rm.padded_x_rows,)))
-            yb = ap.stages[2](dv, ap.stages[1](ap.stages[0](dv, xs)))
-            y = yb if y is None else y + yb
-        return y
+            outs.append(ap.stages[2](dv, ap.stages[1](ap.stages[0](dv, xs))))
+        return outs[0] if len(outs) == 1 else sum(o.ravel()[0] for o in outs)
 
     rows = [("A (gather-multiply)", pref_a),
             ("A+T ((+transpose)", pref_at),

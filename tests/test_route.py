@@ -85,7 +85,13 @@ class TestBuildInvariants:
         assert (mask == 0).sum() == rm.stats["nnz_routed"]
 
     def test_values_conserved(self, rm_and_m):
+        # the invariant a_val + sp_val == total holds only without stage-B
+        # spill: B-spilled entries keep their (masked, never-accumulated)
+        # product in the A stream AND ride the tail — assert the
+        # precondition so a future fixture change fails loudly, not
+        # mysteriously
         rm, m = rm_and_m
+        assert rm.stats["spill_b"] == 0, rm.stats
         total = np.float64(rm.a_val.sum()) + np.float64(rm.sp_val.sum())
         assert np.isclose(total, np.float64(np.sum(m.val)), rtol=1e-5)
 
@@ -320,6 +326,22 @@ class TestDelegation:
 
         model = EhybSpmv(EhybConfig(artifact_cache=False)).setup(poisson_mid)
         assert not isinstance(model, RoutedSpmv)
+
+    def test_delegation_fires_on_warm_ehyb_cache(self, tmp_path):
+        # a pre-delegation run (routed_delegate='never') leaves cached EHYB
+        # artifacts; the next 'auto' run must still delegate from the
+        # cache-hit path, not silently keep the collapsed body
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = _random_coo(1 << 17, 3, seed=31)
+        cold = EhybSpmv(EhybConfig(
+            artifact_cache=True, cache_dir=str(tmp_path),
+            routed_delegate="never")).setup(m)
+        assert not isinstance(cold, RoutedSpmv)
+        warm = EhybSpmv(EhybConfig(
+            artifact_cache=True, cache_dir=str(tmp_path))).setup(m)
+        assert isinstance(warm, RoutedSpmv), type(warm)
 
     def test_never_flag_disables_delegation(self):
         from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
