@@ -126,6 +126,17 @@ def run_model(model_name: str, matrix_name: str, iters: int) -> int:
     return 0
 
 
+def _backend_alive(timeout: int = 300):
+    """(ok, err): can a fresh process enumerate devices within timeout?"""
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout)
+        return p.returncode == 0, p.stderr.decode(errors="replace")[-500:]
+    except subprocess.TimeoutExpired:
+        return False, f"jax.devices() hung >{timeout}s (tunnel wedged)"
+
+
 def run_child(model_name: str, matrix: str, iters: int, timeout: int = 1500):
     """Parent side: run one model benchmark in a subprocess; None on failure."""
     try:
@@ -148,6 +159,19 @@ def main() -> int:
     os.environ.setdefault("EHYB_LOG", "INFO")
     if len(sys.argv) > 1 and sys.argv[1] == "--run":
         return run_model(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+
+    # Fast backend health probe: a wedged axon tunnel makes jax.devices()
+    # hang forever (observed 7+ h on 2026-08-17); without this gate every
+    # child would burn its full timeout and the driver run would take
+    # ~100 min to report the failure it could know in 5.
+    if "EHYB_NO_PROBE" not in os.environ:
+        ok, err = _backend_alive()
+        if not ok:
+            log(f"backend probe failed: {err}")
+            print(json.dumps({"metric": "spmv_gflops", "value": 0.0,
+                              "unit": "GFLOP/s", "vs_baseline": 0.0,
+                              "error": "backend unavailable"}))
+            return 1
 
     # Headline matrix: permuted_poisson_512 exercises the FULL EHYB format —
     # a real Pallas SELL gather body (nonzero ell_steps) plus DIA and the ER
