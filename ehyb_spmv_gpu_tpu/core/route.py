@@ -342,7 +342,9 @@ def _assign_steps_b(dslice: np.ndarray, dlane: np.ndarray,
 
 def build_routed(m: MatrixCOO, R: Optional[int] = None,
                  P: Optional[int] = None,
-                 out_rows: Optional[int] = None) -> RoutedMatrix:
+                 out_rows: Optional[int] = None,
+                 group_geometry: Optional[tuple] = None,
+                 octet_override: Optional[bool] = None) -> RoutedMatrix:
     """Build the routed format + static schedules from an (un-reordered) COO
     matrix.  Entries that overflow their stage-A cell (past P) or exhaust the
     stage-B step budget (MAX_COLORS) spill to the XLA tail.
@@ -484,6 +486,8 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
              and (env_oct == "1"
                   or (env_oct != "0"
                       and float(mxc.mean()) < OCTET_WIDTH_GATE)))
+    if octet_override is not None:      # sharded builds pin shard-0's choice
+        octet = bool(octet_override) and spb >= 8 and spb % 8 == 0
     if octet:
         opb = spb // 8                       # octets per band
         # slices within a band are density-sorted, so consecutive groups of
@@ -497,7 +501,8 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
             .reshape(n_bands, spb)           # rows per slice
         segs_per_band = spb
     band_steps = wb.sum(axis=1)               # multiples of 8
-    c, s_b = _choose_group_geometry(band_steps)
+    c, s_b = (group_geometry if group_geometry is not None
+              else _choose_group_geometry(band_steps))
     n_groups = cdiv(n_bands, c)
     grp_of_band = np.arange(n_bands) // c
     grp_steps = np.zeros(n_groups, dtype=np.int64)

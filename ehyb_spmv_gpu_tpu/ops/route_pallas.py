@@ -106,13 +106,20 @@ def _make_route_b_kernel(chain: int, s_b: int, octet: bool):
 
 
 def make_routed_apply(rm: RoutedMatrix, dtype="float32",
-                      interpret: bool = False) -> Callable:
+                      interpret: bool = False,
+                      maps_in_dev: bool = False) -> Callable:
     """Build ``apply(dev, x_pad) -> y_pad`` (INPUT-space rows, padded like
     x — chainable).
 
     ``dev`` is the dict from :meth:`RoutedMatrix.to_jax`; ``x_pad`` is the
     f32 input padded to ``rm.padded_x_rows`` (NOT permuted — the routed
     format consumes original column space).
+
+    With ``maps_in_dev`` the per-matrix schedule maps (b_gmap/b_boff/
+    b_reset/b_last/scat_src/scat_dst, the spill arrays) are read from
+    ``dev`` instead of closed over — the sharded path runs ONE such apply
+    under ``shard_map`` with per-shard maps of uniform (padded) shapes;
+    ``rm`` then only supplies the static geometry.
     """
     vdt = np.dtype(dtype)
     if vdt != np.float32:
@@ -127,7 +134,7 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
     s_b = rm.s_b
     b_tiles = b_steps_pad // (s_b * TS)
     x_rows = rm.padded_x_rows // LANES
-    a_win = jnp.asarray(rm.a_win)
+    a_win = jnp.asarray(rm.a_win)   # pure geometry — shard-uniform
     b_gmap = jnp.asarray(rm.b_gmap)
     b_boff = jnp.asarray(rm.b_boff)
     b_reset = jnp.asarray(rm.b_reset)
@@ -221,18 +228,24 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
         return t2.reshape(need * gr, LANES)
 
     def stage_b(dev, t2: jax.Array) -> jax.Array:
-        y3 = b_call(b_gmap, b_boff, b_reset, dev["b_idx"], t2)
-        return jnp.take(y3.reshape(-1, LANES), b_last, axis=0).reshape(-1)
+        gm = dev["b_gmap"] if maps_in_dev else b_gmap
+        bo = dev["b_boff"] if maps_in_dev else b_boff
+        rs = dev["b_reset"] if maps_in_dev else b_reset
+        bl = dev["b_last"] if maps_in_dev else b_last
+        y3 = b_call(gm, bo, rs, dev["b_idx"], t2)
+        return jnp.take(y3.reshape(-1, LANES), bl, axis=0).reshape(-1)
 
     def apply(dev, x_pad: jax.Array) -> jax.Array:
         y_dst = stage_b(dev, stage_t(stage_a(dev, x_pad)))
         # spill tail: the XLA gather path (role of the ER tail)
-        if rm.sp_val.size:
+        if maps_in_dev or rm.sp_val.size:
             y_dst = y_dst.at[dev["sp_dst"]].add(
                 dev["sp_val"] * x_pad[dev["sp_col"]])
         # back to input space (chainable with prepare_x'd vectors)
-        return jnp.zeros(out_rows, y_dst.dtype).at[scat_dst].set(
-            jnp.take(y_dst, scat_src))
+        sd = dev["scat_dst"] if maps_in_dev else scat_dst
+        ss = dev["scat_src"] if maps_in_dev else scat_src
+        return jnp.zeros(out_rows, y_dst.dtype).at[sd].set(
+            jnp.take(y_dst, ss))
 
     #: stage prefixes for scripts/route_breakdown.py
     apply.stages = (stage_a, stage_t, stage_b)

@@ -1,0 +1,214 @@
+"""Sharded routed SpMV — the gather-wall engine over a device mesh.
+
+The routed pipeline shards trivially by ROWS: bands are row-local, so each
+device runs its own complete three-stage instance (gather-multiply →
+transpose → route-reduce) over its row slice with x REPLICATED (a few MB —
+a fully unstructured matrix touches every window anyway, so a halo scheme
+would degenerate to an all-gather; replication IS the honest communication
+pattern for this regime).  Outputs are already input-space per shard, so
+the global y is just the concatenation — no exchange, no combine.
+
+SPMD uniformity (the shard_map contract): (R, P), the group geometry
+(c, s_b) and the octet decision are pinned from shard 0, making the A-side
+shapes identical by construction; the B-side streams and spill tails are
+padded to the max across shards (padding rows are masked and the extra
+grid tiles reduce zeros).  The per-shard schedule maps travel as sharded
+ARGUMENTS through ``make_routed_apply(maps_in_dev=True)``.
+
+Reference parity: the reference has no multi-GPU path at all (SURVEY §5);
+this realizes its phase-2 regime (``kernel.cu:169-194``) at mesh scale.
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EhybConfig, LANES, cdiv, round_up
+from ..core.coo import MatrixCOO
+from ..core.route import RoutedMatrix, WIN, build_routed, _choose_params
+from ..models.base import SpmvModel
+from ..utils.log import get_logger
+from .spmv import AXIS
+
+log = get_logger(__name__)
+
+
+def _pad_rows(a: np.ndarray, rows: int, fill) -> np.ndarray:
+    if a.shape[0] == rows:
+        return a
+    pad = np.full((rows - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def build_sharded_routed(m: MatrixCOO, n_devices: int):
+    """Per-shard routed builds with shard-0-pinned geometry, padded to
+    uniform shapes and stacked on a leading device axis.
+
+    Returns (stacked dict, template RoutedMatrix, rows_per_shard).
+    """
+    dim = m.dimension
+    D = n_devices
+    r_sh = round_up(cdiv(dim, D), LANES)      # rows per shard
+    row = np.asarray(m.row)
+    col = np.asarray(m.col)
+    val = np.asarray(m.val)
+    order = np.argsort(row // r_sh, kind="stable")
+    row, col, val = row[order], col[order], val[order]
+    bounds = np.searchsorted(row // r_sh, np.arange(D + 1))
+
+    shards: List[RoutedMatrix] = []
+    geo = None
+    for d in range(D):
+        lo, hi = bounds[d], bounds[d + 1]
+        sub = MatrixCOO(n_rows=r_sh, n_cols=dim,
+                        row=(row[lo:hi] - d * r_sh).astype(np.int32),
+                        col=col[lo:hi].astype(np.int32), val=val[lo:hi])
+        if geo is None:
+            n_win0, r0, p0 = _choose_params(r_sh, dim, max(sub.nnz, 1),
+                                            None, None)
+            rm = build_routed(sub, R=r0, P=p0, out_rows=r_sh)
+            geo = (r0, p0, (rm.bands_per_block, rm.s_b), bool(rm.octet))
+        else:
+            rm = build_routed(sub, R=geo[0], P=geo[1], out_rows=r_sh,
+                              group_geometry=geo[2], octet_override=geo[3])
+        assert rm.a_col.shape == shards[0].a_col.shape if shards else True
+        shards.append(rm)
+
+    # pad the variable-size B-side/spill arrays to the max across shards
+    bmax = max(s.b_idx.shape[0] for s in shards)
+    q = shards[0].s_b * 8
+    bmax = round_up(bmax, q)
+    gmax = bmax // q
+    smax = bmax // 8
+    spmax = max(s.sp_val.shape[0] for s in shards)
+    ymax = bmax if shards[0].octet else smax   # y3 rows (take source)
+
+    stacked = {}
+    per = {
+        "a_col": [s.a_col for s in shards],
+        "a_val": [s.a_val for s in shards],
+        "b_idx": [_pad_rows(s.b_idx, bmax, np.int16(1 << 14))
+                  for s in shards],
+        "b_gmap": [_pad_rows(s.b_gmap, gmax, 0) for s in shards],
+        "b_boff": [_pad_rows(s.b_boff, smax, 0) for s in shards],
+        "b_reset": [_pad_rows(s.b_reset, smax, 1) for s in shards],
+        "b_last": [np.minimum(s.b_last, ymax - 1) for s in shards],
+        "sp_dst": [_pad_rows(s.sp_dst, spmax, 0) for s in shards],
+        "sp_col": [_pad_rows(s.sp_col, spmax, 0) for s in shards],
+        "sp_val": [_pad_rows(s.sp_val, spmax, np.float32(0))
+                   for s in shards],
+        # input-space scatter: every shard keeps exactly r_sh rows (the
+        # builder's keep mask is vs n_rows=r_sh, incl. the last shard's
+        # zero padding rows), so these are uniform without padding
+        "scat_src": [np.flatnonzero(s.dst_rows < r_sh).astype(np.int32)
+                     for s in shards],
+        "scat_dst": [s.dst_rows[s.dst_rows < r_sh].astype(np.int32)
+                     for s in shards],
+    }
+    for name, arrs in per.items():
+        assert len({a.shape for a in arrs}) == 1, \
+            (name, [a.shape for a in arrs])
+        stacked[name] = np.stack(arrs)
+
+    # template geometry for the kernel factory: shard 0 with the padded
+    # B stream (all shards share these STATIC shapes)
+    t = shards[0]
+    template = RoutedMatrix(
+        dim=r_sh, n_win=t.n_win, P=t.P, R=t.R, n_bands=t.n_bands,
+        n_bg=t.n_bg, bands_per_block=t.bands_per_block, s_b=t.s_b,
+        out_rows=r_sh, octet=t.octet,
+        a_col=t.a_col, a_val=t.a_val, a_win=t.a_win,
+        a_real_steps=t.a_real_steps,
+        b_idx=stacked["b_idx"][0], b_gmap=stacked["b_gmap"][0],
+        b_boff=stacked["b_boff"][0], b_reset=stacked["b_reset"][0],
+        b_last=stacked["b_last"][0],
+        sp_dst=stacked["sp_dst"][0], sp_col=stacked["sp_col"][0],
+        sp_val=stacked["sp_val"][0], dst_rows=t.dst_rows,
+        stats={"nnz": m.nnz,
+               "nnz_spill": int(sum(s.stats["nnz_spill"] for s in shards)),
+               "b_steps": bmax, "octet": t.octet,
+               "per_dev": [s.stats for s in shards]})
+    return stacked, template, r_sh
+
+
+class ShardedRoutedSpmv(SpmvModel):
+    """Row-sharded routed SpMV: one complete routed instance per device,
+    x replicated, outputs concatenated."""
+
+    name = "ehyb_routed_sharded"
+
+    def __init__(self, config: Optional[EhybConfig] = None,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        super().__init__(config)
+        if mesh is None:
+            devs = np.array(jax.devices())
+            mesh = jax.sharding.Mesh(devs, (AXIS,))
+        self.mesh = mesh
+
+    def setup(self, m: MatrixCOO) -> "ShardedRoutedSpmv":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.route_pallas import make_routed_apply
+
+        self.m = m
+        self.setup_seconds = {}
+        self.ehyb = None
+        t0 = time.perf_counter()
+        D = int(np.prod(self.mesh.devices.shape))
+        stacked, template, r_sh = build_sharded_routed(m, D)
+        self.template, self.r_sh, self.D = template, r_sh, D
+        self.routed = template
+        self.setup_seconds["convert"] = time.perf_counter() - t0
+
+        interpret = jax.default_backend() != "tpu"
+        body_apply = make_routed_apply(template, interpret=interpret,
+                                       maps_in_dev=True)
+        shard_spec = NamedSharding(self.mesh, P(AXIS))
+        self.dev = {n: jax.device_put(a, shard_spec)
+                    for n, a in stacked.items()}
+        mesh = self.mesh
+
+        def body(x_full, arrs):
+            local = {n: a[0] for n, a in arrs.items()}  # drop device axis
+            y = body_apply(local, x_full)
+            return y[None]
+
+        def apply_impl(arrs, x_full):
+            f = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), {n: P(AXIS) for n in arrs}),
+                out_specs=P(AXIS, None),
+                # pallas outputs carry no varying-mesh-axes metadata; the
+                # body has no collectives at all (x replicated, rows local)
+                check_vma=False)
+            return f(x_full, arrs).reshape(-1)
+
+        self._apply_fn = jax.jit(apply_impl)
+        self.setup_seconds["total"] = time.perf_counter() - t0
+        log.info("%s ready: D=%d rows/shard=%d b_steps(max)=%d octet=%d "
+                 "spill=%d", self.name, D, r_sh,
+                 template.stats["b_steps"], template.octet,
+                 template.stats["nnz_spill"])
+        return self
+
+    def device_operands(self):
+        return self.dev
+
+    def prepare_x(self, x: np.ndarray) -> jax.Array:
+        xp = np.zeros(self.template.padded_x_rows, dtype=np.float32)
+        xp[: self.m.dimension] = np.asarray(x, dtype=np.float32)
+        return jnp.asarray(xp)
+
+    def recover_y(self, y: jax.Array) -> np.ndarray:
+        return np.asarray(y, dtype=np.float64)[: self.m.n_rows]
+
+    def apply(self, x_dev: jax.Array) -> jax.Array:
+        return self._apply_fn(self.dev, x_dev)
+
+    def apply_operands(self, operands, x_dev):
+        dev = operands if operands is not None else self.dev
+        return self._apply_fn(dev, x_dev)

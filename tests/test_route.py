@@ -268,6 +268,29 @@ class TestColumnBlocks:
         assert R >= 2048
 
 
+class TestShardedRouted:
+    @pytest.mark.parametrize("n_dev,dim,k", [(8, 1 << 15, 4), (4, 20000, 6)])
+    def test_oracle_parity_on_virtual_mesh(self, n_dev, dim, k):
+        # one complete routed instance per device, x replicated, outputs
+        # concatenated — validated on the virtual CPU mesh like the EHYB
+        # sharded path
+        import jax
+
+        from ehyb_spmv_gpu_tpu.parallel.routed import ShardedRoutedSpmv
+        from ehyb_spmv_gpu_tpu.parallel.spmv import AXIS
+
+        devs = np.array(jax.devices()[:n_dev])
+        mesh = jax.sharding.Mesh(devs, (AXIS,))
+        m = _random_coo(dim, k, seed=51)
+        model = ShardedRoutedSpmv(
+            EhybConfig(artifact_cache=False), mesh=mesh).setup(m)
+        x = deterministic_x(dim)
+        y_ref = oracle_spmv(m, x)
+        y = model.recover_y(model.apply(model.prepare_x(x)))
+        rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, rel
+
+
 class TestChainable:
     def test_cg_solves_with_routed_model(self):
         # apply returns input-space y, so the CG loop can chain it like any
