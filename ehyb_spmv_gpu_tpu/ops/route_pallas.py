@@ -107,13 +107,19 @@ def _make_route_b_kernel(chain: int, s_b: int, octet: bool):
 
 def make_routed_apply(rm: RoutedMatrix, dtype="float32",
                       interpret: bool = False,
-                      maps_in_dev: bool = False) -> Callable:
+                      maps_in_dev: bool = False,
+                      vma=None) -> Callable:
     """Build ``apply(dev, x_pad) -> y_pad`` (INPUT-space rows, padded like
     x — chainable).
 
     ``dev`` is the dict from :meth:`RoutedMatrix.to_jax`; ``x_pad`` is the
     f32 input padded to ``rm.padded_x_rows`` (NOT permuted — the routed
     format consumes original column space).
+
+    ``vma``: varying-mesh-axes tag for the pallas out_shapes — pass the
+    shard_map axis set (e.g. ``{AXIS}``) when the apply runs inside a
+    ``check_vma=True`` shard_map (pallas outputs carry no vma of their
+    own); leave None single-chip.
 
     With ``maps_in_dev`` the per-matrix schedule maps (b_gmap/b_boff/
     b_reset/b_last/scat_src/scat_dst, the spill arrays) are read from
@@ -160,7 +166,8 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
         transcendentals=0)
     a_call = pl.pallas_call(
         _route_a_kernel, grid_spec=a_grid,
-        out_shape=jax.ShapeDtypeStruct((a_steps_pad, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((a_steps_pad, LANES), jnp.float32,
+                                       vma=vma),
         cost_estimate=a_cost, interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
 
@@ -191,7 +198,7 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
     b_call = pl.pallas_call(
         _make_route_b_kernel(chain, s_b, octet), grid_spec=b_grid,
         out_shape=jax.ShapeDtypeStruct((b_tiles, y_rows_per_tile, LANES),
-                                       jnp.float32),
+                                       jnp.float32, vma=vma),
         cost_estimate=b_cost, interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
 

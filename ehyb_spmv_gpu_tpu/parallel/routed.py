@@ -32,7 +32,7 @@ from ..core.coo import MatrixCOO
 from ..core.route import RoutedMatrix, WIN, build_routed, _choose_params
 from ..models.base import SpmvModel
 from ..utils.log import get_logger
-from .spmv import AXIS
+from .spmv import AXIS, check_vma_enabled
 
 log = get_logger(__name__)
 
@@ -165,14 +165,24 @@ class ShardedRoutedSpmv(SpmvModel):
         self.setup_seconds["convert"] = time.perf_counter() - t0
 
         interpret = jax.default_backend() != "tpu"
-        body_apply = make_routed_apply(template, interpret=interpret,
-                                       maps_in_dev=True)
+        check_vma = check_vma_enabled(interpret=interpret)
+        body_apply = make_routed_apply(
+            template, interpret=interpret, maps_in_dev=True,
+            # vma-tag the pallas outputs so the compiled path runs under
+            # check_vma=True; the pallas interpreter can't propagate vma
+            # through its kernel evaluation, so CPU tests keep the hatch.
+            vma={AXIS} if check_vma else None)
         shard_spec = NamedSharding(self.mesh, P(AXIS))
         self.dev = {n: jax.device_put(a, shard_spec)
                     for n, a in stacked.items()}
         mesh = self.mesh
 
         def body(x_full, arrs):
+            if check_vma:
+                # x arrives replicated (P() → unvarying); the vma checker
+                # requires an explicit cast before it mixes with the
+                # device-varying schedule arrays (a metadata-only op).
+                x_full = jax.lax.pcast(x_full, AXIS, to="varying")
             local = {n: a[0] for n, a in arrs.items()}  # drop device axis
             y = body_apply(local, x_full)
             return y[None]
@@ -182,9 +192,10 @@ class ShardedRoutedSpmv(SpmvModel):
                 body, mesh=mesh,
                 in_specs=(P(), {n: P(AXIS) for n in arrs}),
                 out_specs=P(AXIS, None),
-                # pallas outputs carry no varying-mesh-axes metadata; the
-                # body has no collectives at all (x replicated, rows local)
-                check_vma=False)
+                # check_vma is ON for the compiled path (pallas out_shapes
+                # vma-tagged above); interpret mode keeps the hatch — the
+                # pallas interpreter can't propagate vma internally.
+                check_vma=check_vma)
             return f(x_full, arrs).reshape(-1)
 
         self._apply_fn = jax.jit(apply_impl)
