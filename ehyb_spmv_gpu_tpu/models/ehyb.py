@@ -355,6 +355,39 @@ class EhybSpmv(EhybXlaSpmv):
         if routed is not None:
             raise _DelegateToRouted(routed)
 
+    def _gate_decision_path(self, m: MatrixCOO) -> Optional[str]:
+        if not self.config.artifact_cache:
+            return None
+        from ..core.cache import DEFAULT_CACHE_DIR, matrix_fingerprint
+
+        d = self.config.cache_dir or DEFAULT_CACHE_DIR
+        return os.path.join(
+            d, f"{matrix_fingerprint(m)}"
+               f"-gate{self._ROUTED_FILL_GATE:g}.json")
+
+    def _load_gate_decision(self, m: MatrixCOO):
+        """Cached RCM-recheck verdict: True = delegate, False = keep the
+        EHYB body, None = not decided yet (or caching disabled)."""
+        path = self._gate_decision_path(m)
+        if path is None or not os.path.exists(path):
+            return None
+        import json
+
+        try:
+            return bool(json.load(open(path))["delegate"])
+        except Exception:
+            return None
+
+    def _save_gate_decision(self, m: MatrixCOO, delegate: bool) -> None:
+        path = self._gate_decision_path(m)
+        if path is None:
+            return
+        import json
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"delegate": delegate}, f)
+
     def _maybe_delegate_routed(self, m: MatrixCOO):
         """Return a routed model when the post-reorder structure shows the
         gather-wall regime, else None (keep the EHYB body).
@@ -384,15 +417,48 @@ class EhybSpmv(EhybXlaSpmv):
         # Sample whole SLICES (not entries — per-entry strides bias the
         # fill toward empty on large matrices): every 97th slice, all of
         # its entries.
-        o2n = self.reordering.old_to_new
-        r_new = o2n[m.row.astype(np.int64)]
-        pick = (r_new // LANES) % 97 == 0
-        r_s = r_new[pick]
-        c_s = o2n[m.col[pick].astype(np.int64)]
-        gkey = (r_s // LANES) * (m.dimension // 1024 + 1) + c_s // 1024
-        fill = r_s.shape[0] / max(np.unique(gkey).shape[0], 1)
+        def sampled_fill(o2n):
+            r_new = o2n[m.row.astype(np.int64)]
+            pick = (r_new // LANES) % 97 == 0
+            r_s = r_new[pick]
+            c_s = o2n[m.col[pick].astype(np.int64)]
+            gkey = (r_s // LANES) * (m.dimension // 1024 + 1) + c_s // 1024
+            return r_s.shape[0] / max(np.unique(gkey).shape[0], 1)
+
+        fill = sampled_fill(self.reordering.old_to_new)
         if fill > self._ROUTED_FILL_GATE:
             return None
+        if cfg.body_layout not in ("sell_mw", "sell_rx"):
+            # The XLA path's ordering (partition grouping, no bandwidth
+            # recovery) makes a PERMUTED STENCIL look gather-wall — the
+            # gate's own contract forbids delegating those.  Re-sample
+            # under the RCM ordering the Pallas flagship would have
+            # considered before concluding; the verdict is cached by
+            # matrix fingerprint so warm runs never re-pay the RCM BFS
+            # (on a 16.7M-row matrix it costs ~45 s).
+            cached = self._load_gate_decision(m)
+            if cached is not None:
+                if not cached:
+                    return None
+            else:
+                from ..core.ordering import rcm_order, reordering_from_order
+
+                rcm = reordering_from_order(
+                    rcm_order(m).astype(np.int64), m.dimension)
+                fill_rcm = sampled_fill(rcm.old_to_new)
+                recovered = fill_rcm > self._ROUTED_FILL_GATE
+                self._save_gate_decision(m, not recovered)
+                if recovered:
+                    log.info(
+                        "group fill %.1f under the partition ordering but "
+                        "%.1f under RCM — structure recovered, keeping the "
+                        "EHYB body", fill, fill_rcm)
+                    if getattr(self, "ehyb", None) is None:
+                        # cold path: the conversion has not run yet — adopt
+                        # the recovered ordering (the RCM work is not
+                        # wasted; the body packs under it)
+                        self.reordering = rcm
+                    return None
         from ..core.route import _choose_params
         from .routed import RoutedSpmv
 

@@ -4,6 +4,13 @@ on the CPU backend — conversion/reorder/route schedules and oracles are
 host-side and platform-independent (core/cache.py fingerprints hash only
 matrix + config), so prewarming here turns TPU time into pure measurement.
 
+EHYB_FORCE_PALLAS=interpret is set so the flagship setup takes the SAME
+config-adjustment path as on TPU (body_layout=sell_mw, int16 cols, sliding
+windows) — without it the CPU setup fingerprints a plain-sell config the
+hardware run never looks up, and the delegation gate sees a different
+ordering (observed: permuted_poisson_4096 "prewarmed" into artifacts the
+TPU run could not use).
+
 Usage: python scripts/prewarm.py [matrix ...]    (default: the sweep list)
 Prints one line per (matrix, model): setup seconds + cache HIT/MISS.
 A MISS on a big matrix means a fingerprint drifted — investigate before
@@ -19,6 +26,7 @@ import time
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("EHYB_LOG", "INFO")
+os.environ.setdefault("EHYB_FORCE_PALLAS", "interpret")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
@@ -27,6 +35,10 @@ import jax  # noqa: E402
 # JAX_PLATFORMS=cpu (and hangs forever when the tunnel is wedged); pin the
 # config explicitly, exactly like tests/conftest.py.
 jax.config.update("jax_platforms", "cpu")
+
+#: Exact cache-load log lines (a routed HIT must not mask an EHYB miss —
+#: the flagship can delegate and load only routed artifacts).
+_HIT_LINES = ("loaded cached EHYB artifacts", "loaded cached routed artifacts")
 
 
 def main():
@@ -54,10 +66,12 @@ def main():
             logging.getLogger("ehyb").addHandler(h)
             t0 = time.time()
             try:
-                ehyb.MODELS[name](ehyb.EhybConfig(artifact_cache=True)
-                                  ).setup(m)
-                status = ("HIT" if "loaded cached" in buf.getvalue()
-                          else "MISS(rebuilt+cached)")
+                model = ehyb.MODELS[name](
+                    ehyb.EhybConfig(artifact_cache=True)).setup(m)
+                out = buf.getvalue()
+                hit = any(s in out for s in _HIT_LINES)
+                status = "HIT" if hit else "MISS(rebuilt+cached)"
+                status += f" [{type(model).__name__}]"
             except Exception as exc:  # report, keep going
                 status = f"ERROR {exc!r:.200}"
                 fails += 1

@@ -7,6 +7,8 @@ reference leans on hardware global-memory gathers
 conversion tests: structural invariants on the host-side schedules, then
 oracle parity through the interpret-mode Pallas kernels.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -365,6 +367,42 @@ class TestDelegation:
         warm = EhybSpmv(EhybConfig(
             artifact_cache=True, cache_dir=str(tmp_path))).setup(m)
         assert isinstance(warm, RoutedSpmv), type(warm)
+
+    def test_permuted_stencil_on_xla_path_keeps_ehyb_body(self):
+        # On the XLA path (body_layout stays plain — no pick_ordering), the
+        # partition ordering makes a permuted stencil look gather-wall
+        # (observed fill 2.0 on permuted_poisson_4096 where the RCM ordering
+        # gives 91.8); the gate must re-sample under RCM and keep the EHYB
+        # body — its contract says a recoverable stencil never delegates.
+        from ehyb_spmv_gpu_tpu.io import generate
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = generate.permuted(generate.poisson2d(512), seed=11)
+        assert m.dimension >= (1 << 16) and m.nnz >= (1 << 18)  # gate-sized
+        model = EhybSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        assert not isinstance(model, RoutedSpmv), type(model)
+        x = deterministic_x(m.dimension)
+        y_ref = oracle_spmv(m, x)
+        rel = np.linalg.norm(model.matvec(x) - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, rel
+
+    def test_gate_decision_cached_by_matrix(self, tmp_path):
+        # The RCM re-check verdict is cached by matrix fingerprint: the
+        # second setup must not re-pay the RCM BFS (observable via the
+        # marker file existing and the decision being honored).
+        from ehyb_spmv_gpu_tpu.io import generate
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = generate.permuted(generate.poisson2d(512), seed=11)
+        cfg = EhybConfig(artifact_cache=True, cache_dir=str(tmp_path))
+        model = EhybSpmv(cfg).setup(m)
+        assert not isinstance(model, RoutedSpmv)
+        markers = [p for p in os.listdir(tmp_path) if "-gate" in p]
+        assert markers, os.listdir(tmp_path)
+        model2 = EhybSpmv(cfg).setup(m)
+        assert not isinstance(model2, RoutedSpmv)
 
     def test_never_flag_disables_delegation(self):
         from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
