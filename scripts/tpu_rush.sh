@@ -35,6 +35,9 @@ step() {  # step <name> <timeout_s> <cmd...>
   fi
 }
 
+# ---- phase 0.5: compiled check_vma smoke (sharded engines, D=1) ----------
+step vma_smoke          1800 python scripts/tpu_smoke_sharded.py
+
 # ---- phase 1: the routed engine, never measured on hardware -------------
 step routed_random_1m   2400 python bench.py --run ehyb_routed random_1m 100
 step routed_random_4m   3000 python bench.py --run ehyb_routed random_4m 100
