@@ -8,12 +8,18 @@ would degenerate to an all-gather; replication IS the honest communication
 pattern for this regime).  Outputs are already input-space per shard, so
 the global y is just the concatenation — no exchange, no combine.
 
-SPMD uniformity (the shard_map contract): (R, P), the group geometry
-(c, s_b) and the octet decision are pinned from shard 0, making the A-side
-shapes identical by construction; the B-side streams and spill tails are
-padded to the max across shards (padding rows are masked and the extra
-grid tiles reduce zeros).  The per-shard schedule maps travel as sharded
-ARGUMENTS through ``make_routed_apply(maps_in_dev=True)``.
+SPMD uniformity (the shard_map contract): per column block, (R, P), the
+group geometry (c, s_b) and the octet decision are pinned from shard 0,
+making the A-side shapes identical by construction; the B-side streams and
+spill tails are padded to the max across shards (padding rows are masked
+and the extra grid tiles reduce zeros).  The per-shard schedule maps
+travel as sharded ARGUMENTS through ``make_routed_apply(maps_in_dev=True)``.
+
+No size cliff: past the single-level chain bound — which binds EARLIER
+sharded than on one device, because r_sh < dim shrinks R and stretches the
+chain — the columns split into vertical blocks like the single-device
+column-block mode; each shard runs every block over its rows and sums the
+r_sh-row outputs (one apply per block inside the same shard_map body).
 
 Reference parity: the reference has no multi-GPU path at all (SURVEY §5);
 this realizes its phase-2 regime (``kernel.cu:169-194``) at mesh scale.
@@ -44,40 +50,9 @@ def _pad_rows(a: np.ndarray, rows: int, fill) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
-def build_sharded_routed(m: MatrixCOO, n_devices: int):
-    """Per-shard routed builds with shard-0-pinned geometry, padded to
-    uniform shapes and stacked on a leading device axis.
-
-    Returns (stacked dict, template RoutedMatrix, rows_per_shard).
-    """
-    dim = m.dimension
-    D = n_devices
-    r_sh = round_up(cdiv(dim, D), LANES)      # rows per shard
-    row = np.asarray(m.row)
-    col = np.asarray(m.col)
-    val = np.asarray(m.val)
-    order = np.argsort(row // r_sh, kind="stable")
-    row, col, val = row[order], col[order], val[order]
-    bounds = np.searchsorted(row // r_sh, np.arange(D + 1))
-
-    shards: List[RoutedMatrix] = []
-    geo = None
-    for d in range(D):
-        lo, hi = bounds[d], bounds[d + 1]
-        sub = MatrixCOO(n_rows=r_sh, n_cols=dim,
-                        row=(row[lo:hi] - d * r_sh).astype(np.int32),
-                        col=col[lo:hi].astype(np.int32), val=val[lo:hi])
-        if geo is None:
-            n_win0, r0, p0 = _choose_params(r_sh, dim, max(sub.nnz, 1),
-                                            None, None)
-            rm = build_routed(sub, R=r0, P=p0, out_rows=r_sh)
-            geo = (r0, p0, (rm.bands_per_block, rm.s_b), bool(rm.octet))
-        else:
-            rm = build_routed(sub, R=geo[0], P=geo[1], out_rows=r_sh,
-                              group_geometry=geo[2], octet_override=geo[3])
-        assert rm.a_col.shape == shards[0].a_col.shape if shards else True
-        shards.append(rm)
-
+def _stack_block(shards: List[RoutedMatrix], r_sh: int, nnz: int):
+    """Pad one column-block's per-shard builds to uniform shapes and stack
+    on a leading device axis; return (stacked dict, template)."""
     # pad the variable-size B-side/spill arrays to the max across shards
     bmax = max(s.b_idx.shape[0] for s in shards)
     q = shards[0].s_b * 8
@@ -128,11 +103,97 @@ def build_sharded_routed(m: MatrixCOO, n_devices: int):
         b_last=stacked["b_last"][0],
         sp_dst=stacked["sp_dst"][0], sp_col=stacked["sp_col"][0],
         sp_val=stacked["sp_val"][0], dst_rows=t.dst_rows,
-        stats={"nnz": m.nnz,
+        stats={"nnz": nnz,
                "nnz_spill": int(sum(s.stats["nnz_spill"] for s in shards)),
                "b_steps": bmax, "octet": t.octet,
                "per_dev": [s.stats for s in shards]})
-    return stacked, template, r_sh
+    return stacked, template
+
+
+def build_sharded_routed(m: MatrixCOO, n_devices: int,
+                         block_cols: Optional[int] = None):
+    """Per-(shard, column-block) routed builds with geometry pinned per
+    block (uniform across shards), padded and stacked on a leading device
+    axis.
+
+    Past the single-level chain bound — which binds EARLIER here than on
+    one device, since r_sh < dim shrinks R and stretches the chain — the
+    columns split into vertical blocks exactly like the single-device
+    column-block mode (models/routed.py `_setup_blocks`); each shard then
+    runs every block over its rows and sums the r_sh-row outputs.
+    ``block_cols`` overrides the split width (tests force small blocks).
+
+    Returns (list over blocks of (stacked dict, template, col_lo),
+    rows_per_shard, padded x length).
+    """
+    from ..models.routed import BLOCK_COLS
+
+    dim = m.dimension
+    D = n_devices
+    r_sh = round_up(cdiv(dim, D), LANES)      # rows per shard
+    row = np.asarray(m.row)
+    col = np.asarray(m.col)
+    val = np.asarray(m.val)
+    order = np.argsort(row // r_sh, kind="stable")
+    row, col, val = row[order], col[order], val[order]
+    bounds = np.searchsorted(row // r_sh, np.arange(D + 1))
+
+    # nnz per (shard, block); geometry per block sized for the WORST shard
+    bc = block_cols or BLOCK_COLS
+    ranges = [(0, dim)]
+    if block_cols is None:
+        try:
+            _choose_params(r_sh, dim, max(
+                int(np.max(np.diff(bounds), initial=1)), 1), None, None)
+        except ValueError:
+            ranges = None
+    else:
+        ranges = None
+    if ranges is None:
+        nb = cdiv(dim, bc)
+        ranges = [(b * bc, min((b + 1) * bc, dim)) for b in range(nb)]
+        log.info("sharded routed: chain bound at rows/shard=%d dim=%d — "
+                 "COLUMN-BLOCK mode, %d blocks of <=%d cols",
+                 r_sh, dim, nb, bc)
+
+    blocks = []
+    L = round_up(dim, WIN)
+    for lo_c, hi_c in ranges:
+        if len(ranges) > 1:
+            in_blk = (col >= lo_c) & (col < hi_c)
+            nnz_sh = np.zeros(D, dtype=np.int64)
+            np.add.at(nnz_sh, np.searchsorted(
+                bounds, np.flatnonzero(in_blk), side="right") - 1, 1)
+        else:
+            in_blk = np.ones(col.shape[0], dtype=bool)
+            nnz_sh = np.diff(bounds).astype(np.int64)
+        _, r0, p0 = _choose_params(
+            r_sh, hi_c - lo_c, max(int(nnz_sh.max(initial=1)), 1),
+            None, None)
+        shards: List[RoutedMatrix] = []
+        geo = None
+        for d in range(D):
+            lo, hi = bounds[d], bounds[d + 1]
+            keep = in_blk[lo:hi]
+            sub = MatrixCOO(
+                n_rows=r_sh, n_cols=hi_c - lo_c,
+                row=(row[lo:hi][keep] - d * r_sh).astype(np.int32),
+                col=(col[lo:hi][keep] - lo_c).astype(np.int32),
+                val=val[lo:hi][keep])
+            if geo is None:
+                rm = build_routed(sub, R=r0, P=p0, out_rows=r_sh)
+                geo = ((rm.bands_per_block, rm.s_b), bool(rm.octet))
+                # the build may round n_win up for alignment — size the
+                # shared x from the realized geometry, not the chooser's
+                L = max(L, lo_c + rm.n_win * WIN)
+            else:
+                rm = build_routed(sub, R=r0, P=p0, out_rows=r_sh,
+                                  group_geometry=geo[0],
+                                  octet_override=geo[1])
+            shards.append(rm)
+        stacked, template = _stack_block(shards, r_sh, int(nnz_sh.sum()))
+        blocks.append((stacked, template, lo_c))
+    return blocks, r_sh, L
 
 
 class ShardedRoutedSpmv(SpmvModel):
@@ -149,7 +210,8 @@ class ShardedRoutedSpmv(SpmvModel):
             mesh = jax.sharding.Mesh(devs, (AXIS,))
         self.mesh = mesh
 
-    def setup(self, m: MatrixCOO) -> "ShardedRoutedSpmv":
+    def setup(self, m: MatrixCOO,
+              block_cols: Optional[int] = None) -> "ShardedRoutedSpmv":
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..ops.route_pallas import make_routed_apply
@@ -159,23 +221,30 @@ class ShardedRoutedSpmv(SpmvModel):
         self.ehyb = None
         t0 = time.perf_counter()
         D = int(np.prod(self.mesh.devices.shape))
-        stacked, template, r_sh = build_sharded_routed(m, D)
-        self.template, self.r_sh, self.D = template, r_sh, D
-        self.routed = template
+        blocks, r_sh, L = build_sharded_routed(m, D, block_cols=block_cols)
+        self.template = blocks[0][1]
+        self.r_sh, self.D, self._x_rows = r_sh, D, L
+        self.routed = self.template
         self.setup_seconds["convert"] = time.perf_counter() - t0
 
         interpret = jax.default_backend() != "tpu"
         check_vma = check_vma_enabled(interpret=interpret)
-        body_apply = make_routed_apply(
-            template, interpret=interpret, maps_in_dev=True,
-            # vma-tag the pallas outputs so the compiled path runs under
-            # check_vma=True; the pallas interpreter can't propagate vma
-            # through its kernel evaluation, so CPU tests keep the hatch.
-            vma={AXIS} if check_vma else None)
         shard_spec = NamedSharding(self.mesh, P(AXIS))
-        self.dev = {n: jax.device_put(a, shard_spec)
-                    for n, a in stacked.items()}
+        # one apply per column block; each block's schedule arrays travel
+        # as sharded args under a block prefix in ONE flat dict
+        applies, self.dev = [], {}
+        for i, (stacked, template, lo_c) in enumerate(blocks):
+            ap = make_routed_apply(
+                template, interpret=interpret, maps_in_dev=True,
+                # vma-tag the pallas outputs so the compiled path runs under
+                # check_vma=True; the pallas interpreter can't propagate vma
+                # through its kernel evaluation, so CPU tests keep the hatch.
+                vma={AXIS} if check_vma else None)
+            applies.append((f"blk{i}:", ap, lo_c, template.padded_x_rows))
+            for n, a in stacked.items():
+                self.dev[f"blk{i}:{n}"] = jax.device_put(a, shard_spec)
         mesh = self.mesh
+        n_blocks = len(blocks)
 
         def body(x_full, arrs):
             if check_vma:
@@ -184,7 +253,14 @@ class ShardedRoutedSpmv(SpmvModel):
                 # device-varying schedule arrays (a metadata-only op).
                 x_full = jax.lax.pcast(x_full, AXIS, to="varying")
             local = {n: a[0] for n, a in arrs.items()}  # drop device axis
-            y = body_apply(local, x_full)
+            y = None
+            for pref, ap, lo_c, xr in applies:
+                blk = {n[len(pref):]: a for n, a in local.items()
+                       if n.startswith(pref)}
+                xs = x_full if n_blocks == 1 else \
+                    jax.lax.slice(x_full, (lo_c,), (lo_c + xr,))
+                yb = ap(blk, xs)
+                y = yb if y is None else y + yb
             return y[None]
 
         def apply_impl(arrs, x_full):
@@ -200,17 +276,18 @@ class ShardedRoutedSpmv(SpmvModel):
 
         self._apply_fn = jax.jit(apply_impl)
         self.setup_seconds["total"] = time.perf_counter() - t0
-        log.info("%s ready: D=%d rows/shard=%d b_steps(max)=%d octet=%d "
-                 "spill=%d", self.name, D, r_sh,
-                 template.stats["b_steps"], template.octet,
-                 template.stats["nnz_spill"])
+        log.info("%s ready: D=%d rows/shard=%d blocks=%d b_steps(max)=%d "
+                 "octet=%d spill=%d", self.name, D, r_sh, n_blocks,
+                 max(b[1].stats["b_steps"] for b in blocks),
+                 self.template.octet,
+                 sum(b[1].stats["nnz_spill"] for b in blocks))
         return self
 
     def device_operands(self):
         return self.dev
 
     def prepare_x(self, x: np.ndarray) -> jax.Array:
-        xp = np.zeros(self.template.padded_x_rows, dtype=np.float32)
+        xp = np.zeros(self._x_rows, dtype=np.float32)
         xp[: self.m.dimension] = np.asarray(x, dtype=np.float32)
         return jnp.asarray(xp)
 
