@@ -134,6 +134,11 @@ class EhybXlaSpmv(SpmvModel):
         EhybSpmv overrides it to abort into the routed engine on
         gather-wall structures (raising :class:`_DelegateToRouted`)."""
 
+    def _pre_order_hook(self, m: MatrixCOO) -> None:
+        """Called on a cache miss BEFORE the ordering chain.  EhybSpmv
+        overrides it to delegate on a cached gather-wall verdict without
+        paying pick_ordering for an ordering the routed engine ignores."""
+
     def setup(self, m: MatrixCOO) -> "EhybXlaSpmv":
         import time as _time
 
@@ -184,6 +189,7 @@ class EhybXlaSpmv(SpmvModel):
                 self.setup_seconds["cache_load"] = _time.perf_counter() - _t0
                 self._finish_setup()
                 return self
+        self._pre_order_hook(m)  # cached gather-wall verdict skips ordering
         if cfg.body_layout in ("sell_mw", "sell_rx") and cfg.features.reorder:
             from ..core.ordering import pick_ordering
 
@@ -355,6 +361,35 @@ class EhybSpmv(EhybXlaSpmv):
         if routed is not None:
             raise _DelegateToRouted(routed)
 
+    def _pre_order_hook(self, m: MatrixCOO) -> None:
+        """Cached-verdict fast path BEFORE the ordering chain: a matrix the
+        gate already judged gather-wall delegates immediately instead of
+        re-paying pick_ordering's partition + RCM only to throw them away
+        (random_4m: ~280 s of warm setup for an ordering the routed engine
+        never uses)."""
+        if not self._gate_preconditions(m):
+            return
+        if self._load_gate_decision(m):
+            from .routed import RoutedSpmv
+
+            log.info("cached gate verdict: gather-wall — delegating to the "
+                     "routed engine without paying the ordering chain")
+            raise _DelegateToRouted(RoutedSpmv(self.config).setup(m))
+
+    def _gate_preconditions(self, m: MatrixCOO) -> bool:
+        cfg = self.config
+        if cfg.routed_delegate != "auto":
+            return False
+        if (np.dtype(cfg.dtype) != np.float32 or cfg.dword_values
+                or cfg.compensated_sum or m.n_rows != m.n_cols):
+            return False
+        if os.environ.get("EHYB_FORCE_PALLAS", "").lower() in (
+                "0", "false", "off", "no"):
+            return False                     # routed has no XLA apply
+        if m.dimension < (1 << 16) or m.nnz < (1 << 18):
+            return False  # small matrices run VMEM-resident either way
+        return True
+
     def _gate_decision_path(self, m: MatrixCOO) -> Optional[str]:
         if not self.config.artifact_cache:
             return None
@@ -398,16 +433,8 @@ class EhybSpmv(EhybXlaSpmv):
         never use).
         """
         cfg = self.config
-        if cfg.routed_delegate != "auto":
+        if not self._gate_preconditions(m):
             return None
-        if (np.dtype(cfg.dtype) != np.float32 or cfg.dword_values
-                or cfg.compensated_sum or m.n_rows != m.n_cols):
-            return None
-        if os.environ.get("EHYB_FORCE_PALLAS", "").lower() in (
-                "0", "false", "off", "no"):
-            return None                      # routed has no XLA apply
-        if m.dimension < (1 << 16) or m.nnz < (1 << 18):
-            return None  # small matrices run VMEM-resident either way
         # The structural signal, mode-independent: mean fill of the
         # post-reorder (128-row slice, 1024-col window) groups — what a
         # window-gather sub-tile can hope to serve.  Sampled; the XLA
@@ -427,6 +454,11 @@ class EhybSpmv(EhybXlaSpmv):
 
         fill = sampled_fill(self.reordering.old_to_new)
         if fill > self._ROUTED_FILL_GATE:
+            # on the pick_ordering path this verdict is final (the sample
+            # already saw a bandwidth-recovered ordering) — cache it so
+            # warm runs skip even the fill sample
+            if cfg.body_layout in ("sell_mw", "sell_rx"):
+                self._save_gate_decision(m, False)
             return None
         if cfg.body_layout not in ("sell_mw", "sell_rx"):
             # The XLA path's ordering (partition grouping, no bandwidth
@@ -475,10 +507,12 @@ class EhybSpmv(EhybXlaSpmv):
             log.info("gather-wall structure (post-reorder (slice,window) "
                      "group fill %.1f): delegating to the routed engine",
                      fill)
+            self._save_gate_decision(m, True)
             return RoutedSpmv(cfg).setup(m)
         except ValueError as exc:            # too dense for the router
             log.info("gather-wall structure (group fill %.1f) but routed "
                      "infeasible (%s); keeping the EHYB body", fill, exc)
+            self._save_gate_decision(m, False)
             return None
 
     def setup(self, m: MatrixCOO) -> "EhybSpmv":

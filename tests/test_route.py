@@ -450,6 +450,29 @@ class TestDelegation:
         model2 = EhybSpmv(cfg).setup(m)
         assert not isinstance(model2, RoutedSpmv)
 
+    def test_cached_gate_verdict_skips_ordering(self, tmp_path, monkeypatch):
+        # a matrix the gate already judged gather-wall delegates from the
+        # PRE-order hook on warm runs — pick_ordering/partition must not
+        # run (random_4m paid ~280 s of warm setup for an ordering the
+        # routed engine never uses)
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+        import ehyb_spmv_gpu_tpu.models.ehyb as me
+        import ehyb_spmv_gpu_tpu.core.ordering as co
+
+        m = _random_coo(1 << 17, 3, seed=31)
+        cfg = EhybConfig(artifact_cache=True, cache_dir=str(tmp_path))
+        cold = EhybSpmv(cfg).setup(m)
+        assert isinstance(cold, RoutedSpmv)
+
+        def boom(*a, **k):
+            raise AssertionError("ordering chain paid on warm delegation")
+
+        monkeypatch.setattr(co, "pick_ordering", boom)
+        monkeypatch.setattr(me, "partition_rows", boom)
+        warm = EhybSpmv(cfg).setup(m)
+        assert isinstance(warm, RoutedSpmv)
+
     def test_never_flag_disables_delegation(self):
         from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
         from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
