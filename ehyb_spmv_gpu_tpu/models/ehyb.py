@@ -165,6 +165,11 @@ class EhybXlaSpmv(SpmvModel):
         # run's load (which happens before any switch) computes (advisor
         # finding r2: keying by the mutated config made every run a miss).
         cfg_key = cfg
+        # Cached gather-wall verdict fires BEFORE the EHYB artifact load: a
+        # pre-delegation run may have left EHYB artifacts for a matrix the
+        # gate has since judged gather-wall, and loading a 16M-nnz npz just
+        # to throw it away cost random_1m ~70 s of warm setup.
+        self._pre_order_hook(m)
         if cfg.artifact_cache:
             from ..core.cache import load_artifacts
 
@@ -189,7 +194,6 @@ class EhybXlaSpmv(SpmvModel):
                 self.setup_seconds["cache_load"] = _time.perf_counter() - _t0
                 self._finish_setup()
                 return self
-        self._pre_order_hook(m)  # cached gather-wall verdict skips ordering
         if cfg.body_layout in ("sell_mw", "sell_rx") and cfg.features.reorder:
             from ..core.ordering import pick_ordering
 
