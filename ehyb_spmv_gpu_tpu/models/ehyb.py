@@ -424,8 +424,10 @@ class EhybSpmv(EhybXlaSpmv):
         import json
 
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump({"delegate": delegate}, f)
+        os.replace(tmp, path)  # atomic vs concurrent sweep children
 
     def _maybe_delegate_routed(self, m: MatrixCOO):
         """Return a routed model when the post-reorder structure shows the
