@@ -110,9 +110,12 @@ def main(argv=None) -> int:
 
     # --- load or generate the matrix (role of matrixRead_*, solver_test.c) ---
     if args.matrix:
-        path = os.path.join(args.read_dir, f"{args.matrix}.mtx")
-        if not os.path.exists(path) and os.path.exists(path + ".gz"):
-            path += ".gz"
+        if os.path.isfile(args.matrix):      # explicit path accepted too
+            path = args.matrix
+        else:
+            path = os.path.join(args.read_dir, f"{args.matrix}.mtx")
+            if not os.path.exists(path) and os.path.exists(path + ".gz"):
+                path += ".gz"
         if not os.path.exists(path):
             print(f"error: {path} not found", file=sys.stderr)
             return 2
