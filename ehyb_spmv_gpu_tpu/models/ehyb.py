@@ -378,7 +378,15 @@ class EhybSpmv(EhybXlaSpmv):
 
             log.info("cached gate verdict: gather-wall — delegating to the "
                      "routed engine without paying the ordering chain")
-            raise _DelegateToRouted(RoutedSpmv(self.config).setup(m))
+            try:
+                raise _DelegateToRouted(RoutedSpmv(self.config).setup(m))
+            except ValueError as exc:
+                # the gate contract: keep the EHYB body when routed cannot
+                # run, never crash setup (a stale True marker — e.g. a
+                # build killed mid-way — must not wedge every warm run)
+                log.warning("cached gather-wall verdict but routed build "
+                            "failed (%s); keeping the EHYB body", exc)
+                self._save_gate_decision(m, False)
 
     def _gate_preconditions(self, m: MatrixCOO) -> bool:
         cfg = self.config
@@ -474,19 +482,22 @@ class EhybSpmv(EhybXlaSpmv):
             # considered before concluding; the verdict is cached by
             # matrix fingerprint so warm runs never re-pay the RCM BFS
             # (on a 16.7M-row matrix it costs ~45 s).
-            cached = self._load_gate_decision(m)
-            if cached is not None:
-                if not cached:
-                    return None
-            else:
+            # the cached verdict is consulted only for True (known
+            # gather-wall): a False verdict must NOT skip the re-check —
+            # on a cold XLA-path conversion the recovered RCM ordering is
+            # ADOPTED below, and skipping would silently pack the body
+            # under the collapsed partition ordering (warm runs never get
+            # here: the artifact-hit path samples the cached RCM-adopted
+            # ordering and returns early on its high fill)
+            if not self._load_gate_decision(m):
                 from ..core.ordering import rcm_order, reordering_from_order
 
                 rcm = reordering_from_order(
                     rcm_order(m).astype(np.int64), m.dimension)
                 fill_rcm = sampled_fill(rcm.old_to_new)
                 recovered = fill_rcm > self._ROUTED_FILL_GATE
-                self._save_gate_decision(m, not recovered)
                 if recovered:
+                    self._save_gate_decision(m, False)
                     log.info(
                         "group fill %.1f under the partition ordering but "
                         "%.1f under RCM — structure recovered, keeping the "
@@ -513,8 +524,12 @@ class EhybSpmv(EhybXlaSpmv):
             log.info("gather-wall structure (post-reorder (slice,window) "
                      "group fill %.1f): delegating to the routed engine",
                      fill)
+            routed = RoutedSpmv(cfg).setup(m)
+            # verdict saved only once the build SUCCEEDED: a True marker
+            # written before a minutes-long build that then dies (timeout,
+            # per-block infeasibility) would wedge every warm run
             self._save_gate_decision(m, True)
-            return RoutedSpmv(cfg).setup(m)
+            return routed
         except ValueError as exc:            # too dense for the router
             log.info("gather-wall structure (group fill %.1f) but routed "
                      "infeasible (%s); keeping the EHYB body", fill, exc)

@@ -101,11 +101,12 @@ def _load_routed(path: str) -> Optional[RoutedMatrix]:
         return None
 
 
-def _block_ranges(dim: int) -> List[tuple]:
-    """Column ranges [(lo, hi), ...] of the vertical blocks."""
-    n_blocks = cdiv(dim, BLOCK_COLS)
-    return [(b * BLOCK_COLS, min((b + 1) * BLOCK_COLS, dim))
-            for b in range(n_blocks)]
+def _block_ranges(dim: int, block_cols: int = None) -> List[tuple]:
+    """Column ranges [(lo, hi), ...] of the vertical blocks.  One
+    definition for both the single-device and sharded block modes."""
+    bc = block_cols or BLOCK_COLS
+    n_blocks = cdiv(dim, bc)
+    return [(b * bc, min((b + 1) * bc, dim)) for b in range(n_blocks)]
 
 
 class RoutedSpmv(SpmvModel):

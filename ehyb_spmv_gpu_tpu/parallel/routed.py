@@ -139,47 +139,61 @@ def build_sharded_routed(m: MatrixCOO, n_devices: int,
     bounds = np.searchsorted(row // r_sh, np.arange(D + 1))
 
     # nnz per (shard, block); geometry per block sized for the WORST shard
+    from ..models.routed import _block_ranges
+
     bc = block_cols or BLOCK_COLS
-    ranges = [(0, dim)]
-    if block_cols is None:
+    single = block_cols is None
+    if single:
         try:
             _choose_params(r_sh, dim, max(
                 int(np.max(np.diff(bounds), initial=1)), 1), None, None)
         except ValueError:
-            ranges = None
+            single = False
+    if single:
+        ranges = [(0, dim)]
     else:
-        ranges = None
-    if ranges is None:
-        nb = cdiv(dim, bc)
-        ranges = [(b * bc, min((b + 1) * bc, dim)) for b in range(nb)]
+        ranges = _block_ranges(dim, bc)
         log.info("sharded routed: chain bound at rows/shard=%d dim=%d — "
                  "COLUMN-BLOCK mode, %d blocks of <=%d cols",
-                 r_sh, dim, nb, bc)
+                 r_sh, dim, len(ranges), bc)
+
+    nb = len(ranges)
+    if nb > 1:
+        # ONE bucketing pass over nnz (the per-block mask + np.add.at loop
+        # was O(nb * nnz) with the slowest scatter primitive): sort entries
+        # by (shard, block) once, then every (d, i) sub-matrix is a slice
+        shard_of = np.repeat(np.arange(D), np.diff(bounds))
+        key = shard_of * nb + np.minimum(col // bc, nb - 1)
+        order2 = np.argsort(key, kind="stable")
+        row, col, val, key = row[order2], col[order2], val[order2], \
+            key[order2]
+        bounds_sb = np.searchsorted(key, np.arange(D * nb + 1))
+        nnz_sb = np.diff(bounds_sb).reshape(D, nb)
+    else:
+        bounds_sb = bounds
+        nnz_sb = np.diff(bounds).astype(np.int64).reshape(D, 1)
 
     blocks = []
     L = round_up(dim, WIN)
-    for lo_c, hi_c in ranges:
-        if len(ranges) > 1:
-            in_blk = (col >= lo_c) & (col < hi_c)
-            nnz_sh = np.zeros(D, dtype=np.int64)
-            np.add.at(nnz_sh, np.searchsorted(
-                bounds, np.flatnonzero(in_blk), side="right") - 1, 1)
-        else:
-            in_blk = np.ones(col.shape[0], dtype=bool)
-            nnz_sh = np.diff(bounds).astype(np.int64)
+    for i, (lo_c, hi_c) in enumerate(ranges):
+        nnz_sh = nnz_sb[:, i]
+        if nb > 1 and int(nnz_sh.sum()) == 0 and len(blocks) + (
+                nb - 1 - i) > 0:
+            continue  # an empty block contributes nothing — skip it
+            # (unless it is the only block left and none were kept)
         _, r0, p0 = _choose_params(
             r_sh, hi_c - lo_c, max(int(nnz_sh.max(initial=1)), 1),
             None, None)
         shards: List[RoutedMatrix] = []
         geo = None
         for d in range(D):
-            lo, hi = bounds[d], bounds[d + 1]
-            keep = in_blk[lo:hi]
+            lo, hi = (bounds_sb[d * nb + i], bounds_sb[d * nb + i + 1]) \
+                if nb > 1 else (bounds[d], bounds[d + 1])
             sub = MatrixCOO(
                 n_rows=r_sh, n_cols=hi_c - lo_c,
-                row=(row[lo:hi][keep] - d * r_sh).astype(np.int32),
-                col=(col[lo:hi][keep] - lo_c).astype(np.int32),
-                val=val[lo:hi][keep])
+                row=(row[lo:hi] - d * r_sh).astype(np.int32),
+                col=(col[lo:hi] - lo_c).astype(np.int32),
+                val=val[lo:hi])
             if geo is None:
                 rm = build_routed(sub, R=r0, P=p0, out_rows=r_sh)
                 geo = ((rm.bands_per_block, rm.s_b), bool(rm.octet))

@@ -433,13 +433,15 @@ class TestDelegation:
         rel = np.linalg.norm(model.matvec(x) - y_ref) / np.linalg.norm(y_ref)
         assert rel < 1e-6, rel
 
-    def test_gate_decision_cached_by_matrix(self, tmp_path):
+    def test_gate_decision_cached_by_matrix(self, tmp_path, monkeypatch):
         # The RCM re-check verdict is cached by matrix fingerprint: the
-        # second setup must not re-pay the RCM BFS (observable via the
-        # marker file existing and the decision being honored).
+        # second setup must not re-pay the RCM BFS — its artifact hit
+        # carries the RCM-adopted ordering, whose high fill returns early
+        # (asserted by making rcm_order explode on the warm run).
         from ehyb_spmv_gpu_tpu.io import generate
         from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
         from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+        import ehyb_spmv_gpu_tpu.core.ordering as co
 
         m = generate.permuted(generate.poisson2d(512), seed=11)
         cfg = EhybConfig(artifact_cache=True, cache_dir=str(tmp_path))
@@ -447,6 +449,11 @@ class TestDelegation:
         assert not isinstance(model, RoutedSpmv)
         markers = [p for p in os.listdir(tmp_path) if "-gate" in p]
         assert markers, os.listdir(tmp_path)
+
+        def boom(*a, **k):
+            raise AssertionError("RCM BFS re-paid on warm run")
+
+        monkeypatch.setattr(co, "rcm_order", boom)
         model2 = EhybSpmv(cfg).setup(m)
         assert not isinstance(model2, RoutedSpmv)
 
