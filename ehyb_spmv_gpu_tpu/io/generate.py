@@ -214,4 +214,11 @@ CORPUS = {
     # select-chain bound — exercises the COLUMN-BLOCK routed mode (4
     # vertical blocks), proving the gather-wall answer has no size cliff
     "random_4m": lambda: random_general(1 << 22, 8, seed=23),
+    # 1M rows, heavy-tailed (~24 nnz/row mean, power-law 0.7): scale AND
+    # skew together — hub rows at a dimension where nothing is
+    # VMEM-resident.  Stresses the long-row extraction, the density sort,
+    # and (when the gate delegates) the router's hot-window cells, none of
+    # which random_1m's uniform columns exercise.
+    "powerlaw_1m": lambda: random_general(1 << 20, 24, seed=29,
+                                          power_law=0.7),
 }

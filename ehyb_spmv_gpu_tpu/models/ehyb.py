@@ -408,9 +408,10 @@ class EhybSpmv(EhybXlaSpmv):
         from ..core.cache import DEFAULT_CACHE_DIR, matrix_fingerprint
 
         d = self.config.cache_dir or DEFAULT_CACHE_DIR
+        sp = os.environ.get("EHYB_ROUTE_SPILL_MAX", "0.10")
         return os.path.join(
             d, f"{matrix_fingerprint(m)}"
-               f"-gate{self._ROUTED_FILL_GATE:g}.json")
+               f"-gate{self._ROUTED_FILL_GATE:g}-sp{sp}.json")
 
     def _load_gate_decision(self, m: MatrixCOO):
         """Cached RCM-recheck verdict: True = delegate, False = keep the
@@ -474,6 +475,12 @@ class EhybSpmv(EhybXlaSpmv):
             if cfg.body_layout in ("sell_mw", "sell_rx"):
                 self._save_gate_decision(m, False)
             return None
+        if cfg.body_layout in ("sell_mw", "sell_rx") \
+                and self._load_gate_decision(m) is False:
+            # cached keep-body verdict (schedule-quality veto or a prior
+            # high-fill sample) — skip re-probing the routed build; the
+            # pick_ordering path needs no RCM recovery (it already ran)
+            return None
         if cfg.body_layout not in ("sell_mw", "sell_rx"):
             # The XLA path's ordering (partition grouping, no bandwidth
             # recovery) makes a PERMUTED STENCIL look gather-wall — the
@@ -525,6 +532,22 @@ class EhybSpmv(EhybXlaSpmv):
                      "group fill %.1f): delegating to the routed engine",
                      fill)
             routed = RoutedSpmv(cfg).setup(m)
+            # Schedule-quality veto: spilled entries ride the same ~14
+            # cyc/element XLA gather the routed engine exists to avoid, so
+            # a heavy-tailed matrix whose hub rows blow the stage-B color
+            # budget (powerlaw_1m: 27% spill) is better served by the EHYB
+            # body absorbing hubs via long-row extraction + density sort.
+            # 10% is a conservative provisional bound (the crossover needs
+            # hardware measurement); EHYB_ROUTE_SPILL_MAX overrides.
+            nnz_spill = sum(b.stats.get("nnz_spill", 0)
+                            for b in routed.blocks)
+            spill_max = float(os.environ.get("EHYB_ROUTE_SPILL_MAX", "0.10"))
+            if nnz_spill > spill_max * max(m.nnz, 1):
+                log.info("routed schedule spills %.1f%% of nnz (> %.0f%% "
+                         "veto) — keeping the EHYB body",
+                         100 * nnz_spill / m.nnz, 100 * spill_max)
+                self._save_gate_decision(m, False)
+                return None
             # verdict saved only once the build SUCCEEDED: a True marker
             # written before a minutes-long build that then dies (timeout,
             # per-block infeasibility) would wedge every warm run
