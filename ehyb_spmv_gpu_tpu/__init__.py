@@ -19,10 +19,12 @@ from .core.convert import coo_to_ehyb
 from .core.ehyb import EhybMatrix, EhybDevice
 from .models.csr import CsrSpmv, BcooSpmv
 from .models.ehyb import EhybSpmv, EhybXlaSpmv, HybSpmv
+from .models.hybrid import DegreeSplitSpmv
 from .models.routed import RoutedSpmv
 from .utils.validate import compare, rel_error
 
 __version__ = "0.1.0"
 
 MODELS = {m.name: m for m in
-          (CsrSpmv, BcooSpmv, EhybXlaSpmv, EhybSpmv, HybSpmv, RoutedSpmv)}
+          (CsrSpmv, BcooSpmv, EhybXlaSpmv, EhybSpmv, HybSpmv, RoutedSpmv,
+           DegreeSplitSpmv)}

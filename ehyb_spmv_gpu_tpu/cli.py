@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="warm-up iterations (reference hardcodes 10, spmv.cu:100)")
     p.add_argument("--model", default="ehyb",
                    help="SpMV model: ehyb | ehyb_xla | hyb | csr | bcoo | "
-                        "ehyb_routed (the gather-wall routing engine)")
+                        "ehyb_routed (the gather-wall routing engine) | "
+                        "ehyb_split (degree-split hybrid for heavy tails)")
     p.add_argument("--window", type=int, default=None,
                    help="x-window rows (multiple of 1024); default planner-chosen")
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])

@@ -373,19 +373,25 @@ class EhybSpmv(EhybXlaSpmv):
         never uses)."""
         if not self._gate_preconditions(m):
             return
-        if self._load_gate_decision(m):
-            from .routed import RoutedSpmv
-
-            log.info("cached gate verdict: gather-wall — delegating to the "
-                     "routed engine without paying the ordering chain")
+        verdict = self._load_gate_decision(m)
+        if verdict in ("routed", "split"):
+            log.info("cached gate verdict: %s — delegating without paying "
+                     "the ordering chain", verdict)
             try:
+                if verdict == "split":
+                    from .hybrid import DegreeSplitSpmv
+
+                    raise _DelegateToRouted(
+                        DegreeSplitSpmv(self.config).setup(m))
+                from .routed import RoutedSpmv
+
                 raise _DelegateToRouted(RoutedSpmv(self.config).setup(m))
             except ValueError as exc:
                 # the gate contract: keep the EHYB body when routed cannot
-                # run, never crash setup (a stale True marker — e.g. a
-                # build killed mid-way — must not wedge every warm run)
-                log.warning("cached gather-wall verdict but routed build "
-                            "failed (%s); keeping the EHYB body", exc)
+                # run, never crash setup (a stale marker — e.g. a build
+                # killed mid-way — must not wedge every warm run)
+                log.warning("cached %s verdict but the build failed (%s); "
+                            "keeping the EHYB body", verdict, exc)
                 self._save_gate_decision(m, False)
 
     def _gate_preconditions(self, m: MatrixCOO) -> bool:
@@ -409,20 +415,25 @@ class EhybSpmv(EhybXlaSpmv):
 
         d = self.config.cache_dir or DEFAULT_CACHE_DIR
         sp = os.environ.get("EHYB_ROUTE_SPILL_MAX", "0.10")
+        # v2: verdicts became modes ("routed"/"split"/False) when the
+        # degree-split hybrid landed — pre-hybrid booleans must not block it
         return os.path.join(
             d, f"{matrix_fingerprint(m)}"
-               f"-gate{self._ROUTED_FILL_GATE:g}-sp{sp}.json")
+               f"-gate{self._ROUTED_FILL_GATE:g}v2-sp{sp}.json")
 
     def _load_gate_decision(self, m: MatrixCOO):
-        """Cached RCM-recheck verdict: True = delegate, False = keep the
-        EHYB body, None = not decided yet (or caching disabled)."""
+        """Cached gate verdict: "routed" / "split" = delegate to that
+        engine, False = keep the EHYB body, None = not decided yet (or
+        caching disabled).  Legacy boolean True maps to "routed"."""
         path = self._gate_decision_path(m)
         if path is None or not os.path.exists(path):
             return None
         import json
 
         try:
-            return bool(json.load(open(path))["delegate"])
+            with open(path) as f:
+                v = json.load(f)["delegate"]
+            return "routed" if v is True else v
         except Exception:
             return None
 
@@ -528,6 +539,21 @@ class EhybSpmv(EhybXlaSpmv):
             _choose_params(m.dimension, min(m.dimension, 1 << 20),
                            m.nnz // max(cdiv(m.dimension, 1 << 20), 1),
                            None, None)
+            # Heavy tail → degree-split hybrid: dense rows pack the EHYB
+            # body at pooled-slice fill while the bounded-degree remainder
+            # routes at the Poisson floor (powerlaw_1m: routed-alone spill
+            # 6.79M vs 3.8k for the split's sparse side; models/hybrid.py).
+            from .hybrid import (DegreeSplitSpmv, MIN_DENSE_FRAC,
+                                 degree_split_stats)
+
+            _, dense_frac = degree_split_stats(m)
+            if dense_frac >= MIN_DENSE_FRAC:
+                log.info("gather-wall with a heavy tail (fill %.1f, %.0f%% "
+                         "of nnz in dense rows): degree-split hybrid",
+                         fill, 100 * dense_frac)
+                model = DegreeSplitSpmv(cfg).setup(m)
+                self._save_gate_decision(m, "split")
+                return model
             log.info("gather-wall structure (post-reorder (slice,window) "
                      "group fill %.1f): delegating to the routed engine",
                      fill)
@@ -551,7 +577,7 @@ class EhybSpmv(EhybXlaSpmv):
             # verdict saved only once the build SUCCEEDED: a True marker
             # written before a minutes-long build that then dies (timeout,
             # per-block infeasibility) would wedge every warm run
-            self._save_gate_decision(m, True)
+            self._save_gate_decision(m, "routed")
             return routed
         except ValueError as exc:            # too dense for the router
             log.info("gather-wall structure (group fill %.1f) but routed "

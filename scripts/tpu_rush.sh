@@ -42,6 +42,10 @@ step vma_smoke          1800 python scripts/tpu_smoke_sharded.py
 step routed_random_1m   2400 python bench.py --run ehyb_routed random_1m 100
 step routed_random_4m   3000 python bench.py --run ehyb_routed random_4m 100
 step delegate_random_1m 2400 python bench.py --run ehyb random_1m 100
+# heavy-tail regime: the degree-split hybrid (models/hybrid.py) vs the
+# body-alone number the veto previously kept (23.1 GFLOP/s r3-session-1)
+step split_powerlaw_1m  3000 python bench.py --run ehyb_split powerlaw_1m 100
+step delegate_powerlaw  3000 python bench.py --run ehyb powerlaw_1m 100
 step route_breakdown    2400 python scripts/route_breakdown.py random_1m
 step probe_route        1800 python scripts/probe_route.py
 

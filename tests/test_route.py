@@ -506,3 +506,73 @@ class TestCache:
         # second setup must hit the cache
         model2 = RoutedSpmv(cfg).setup(m)
         assert "cache_load" in model2.setup_seconds
+
+
+class TestDegreeSplitHybrid:
+    def _heavy_tail(self, dim, seed=4):
+        from ehyb_spmv_gpu_tpu.io import generate
+        return generate.random_general(dim, 24, seed=seed, power_law=0.7)
+
+    def test_matches_oracle(self):
+        from ehyb_spmv_gpu_tpu.models.hybrid import DegreeSplitSpmv
+
+        m = self._heavy_tail(1 << 14)
+        model = DegreeSplitSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        x = deterministic_x(m.dimension)
+        y_ref = oracle_spmv(m, x)
+        rel = np.linalg.norm(model.matvec(x) - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, rel
+        # iterate (bench protocol) must agree bit-for-bit at eps=0
+        y_it = model.recover_y(model.iterate(model.prepare_x(x), 3))
+        assert np.array_equal(y_it, model.matvec(x))
+
+    def test_gate_picks_split_on_heavy_tail(self, tmp_path):
+        # gather-wall + heavy tail → the flagship returns the hybrid, and
+        # the cached verdict delegates the warm run the same way.  Two
+        # explicit degree classes: the mean must be low enough that the
+        # pooled (slice, window) fill is under the gate at this dimension
+        # (fill ~ 128 * mean_deg / (dim/1024)), while the dense class
+        # carries enough nnz to justify the split.
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
+        from ehyb_spmv_gpu_tpu.models.hybrid import DegreeSplitSpmv
+
+        dim = 1 << 18
+        rng = np.random.default_rng(9)
+        deg = np.where(rng.random(dim) < 0.05, 64, 4)
+        row = np.repeat(np.arange(dim), deg)
+        col = rng.integers(0, dim, row.size)
+        _, ui = np.unique(row.astype(np.int64) * dim + col,
+                          return_index=True)
+        m = MatrixCOO(dim, dim, row[ui].astype(np.int32),
+                      col[ui].astype(np.int32),
+                      rng.standard_normal(ui.size).astype(np.float32))
+        cfg = EhybConfig(artifact_cache=True, cache_dir=str(tmp_path))
+        cold = EhybSpmv(cfg).setup(m)
+        assert isinstance(cold, DegreeSplitSpmv), type(cold)
+        warm = EhybSpmv(cfg).setup(m)
+        assert isinstance(warm, DegreeSplitSpmv), type(warm)
+        x = deterministic_x(m.dimension)
+        y_ref = oracle_spmv(m, x)
+        for mod in (cold, warm):
+            rel = np.linalg.norm(mod.matvec(x) - y_ref) \
+                / np.linalg.norm(y_ref)
+            assert rel < 1e-6, rel
+
+    def test_uniform_random_still_routes(self):
+        # no heavy tail → the gate keeps choosing the plain routed engine
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = _random_coo(1 << 17, 3, seed=31)
+        model = EhybSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        assert isinstance(model, RoutedSpmv), type(model)
+
+    def test_sparse_side_spill_at_floor(self):
+        # the split's raison d'etre: the bounded-degree remainder routes
+        # near the Poisson floor where routed-alone spills heavily
+        from ehyb_spmv_gpu_tpu.models.hybrid import DegreeSplitSpmv
+
+        m = self._heavy_tail(1 << 15)
+        model = DegreeSplitSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        spill = sum(b.stats.get("nnz_spill", 0) for b in model.r.blocks)
+        assert spill < 0.01 * m.nnz, (spill, m.nnz)
