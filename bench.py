@@ -85,10 +85,13 @@ def run_model(model_name: str, matrix_name: str, iters: int) -> int:
     x = deterministic_x(m.dimension)
     want = cached_oracle(m, x)
 
-    cfg = EhybConfig(artifact_cache=True)
+    # EHYB_BENCH_DWORD=1: bench the f64-contract pipeline (spmv.h:46 analog,
+    # ops/dword.py) to measure the f32x2 cost ratio on hardware.
+    dword = os.environ.get("EHYB_BENCH_DWORD", "") not in ("", "0")
+    cfg = EhybConfig(artifact_cache=True, dword_values=dword)
     model = ehyb.MODELS[model_name](cfg).setup(m)
     err = rel_error(model.matvec(x), want)
-    log(f"[{model_name}] rel_error={err:.3e}")
+    log(f"[{model_name}] rel_error={err:.3e}{' (dword)' if dword else ''}")
     if err > 1e-4:
         raise RuntimeError(f"{model_name} validation failed: {err}")
     x_dev = model.prepare_x(x)
@@ -98,6 +101,8 @@ def run_model(model_name: str, matrix_name: str, iters: int) -> int:
 
         # model.config is authoritative (EhybSpmv swaps in int16 columns).
         vb = np.dtype(model.config.dtype).itemsize
+        if dword:
+            vb *= 2  # (hi, lo) f32 pair per value stream
         ib = np.dtype(model.config.index_dtype).itemsize
         bm = spmv_bytes_model(e.stats, value_bytes=vb, ell_index_bytes=ib,
                               dim=m.dimension)
@@ -122,7 +127,7 @@ def run_model(model_name: str, matrix_name: str, iters: int) -> int:
         "rel_error": err, "roofline_gflops": res.roofline_gflops,
         "roofline_frac": res.roofline_frac, "bytes_model": res.bytes_model,
         "nnz": m.nnz, "backend": jax.default_backend(), "noisy": res.noisy,
-        "setup_seconds": setup_s, **phase_split}), flush=True)
+        "dword": dword, "setup_seconds": setup_s, **phase_split}), flush=True)
     return 0
 
 

@@ -237,6 +237,7 @@ class ShardedRoutedSpmv(SpmvModel):
         D = int(np.prod(self.mesh.devices.shape))
         blocks, r_sh, L = build_sharded_routed(m, D, block_cols=block_cols)
         self.template = blocks[0][1]
+        self.templates = [b[1] for b in blocks]
         self.r_sh, self.D, self._x_rows = r_sh, D, L
         self.routed = self.template
         self.setup_seconds["convert"] = time.perf_counter() - t0
@@ -296,6 +297,28 @@ class ShardedRoutedSpmv(SpmvModel):
                  self.template.octet,
                  sum(b[1].stats["nnz_spill"] for b in blocks))
         return self
+
+    def bytes_model(self) -> int:
+        """Modeled HBM bytes per iteration, summed over the D shards.
+
+        Per shard this is the single-device routed traffic model
+        (``models/routed.py::bytes_model``): 4 product-array passes plus
+        both stages' index streams plus the replicated x once per block —
+        shard shapes are uniform by construction, so D x the template."""
+        per_dev = self._x_rows * (4 + 8 * len(self.templates))
+        for rm in self.templates:
+            a_slots = rm.a_col.shape[0] * LANES
+            b_slots = rm.b_idx.shape[0] * LANES
+            prod = rm.a_real_steps * LANES * 4
+            per_dev += int(a_slots * (2 + 4)     # a_col + a_val
+                           + a_slots * 4         # product write (padded)
+                           + 2 * prod            # transpose read + write
+                           + prod                # B block reads
+                           + b_slots * 2         # b_idx
+                           + (b_slots * 4 if rm.octet
+                              else b_slots // 8 * 4)
+                           + rm.sp_val.size * 12)  # spill tail
+        return self.D * per_dev
 
     def device_operands(self):
         return self.dev

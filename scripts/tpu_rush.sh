@@ -56,6 +56,10 @@ step headline           5400 python bench.py
 step pp4096_st64        3600 env EHYB_STREAM_SUBTILES=64 EHYB_NSLOT=512 \
                              python bench.py --run ehyb permuted_poisson_4096 100
 step pp4096_base        3600 python bench.py --run ehyb permuted_poisson_4096 100
+# f64 contract (spmv.h:46 analog): measure the f32x2 dword cost ratio on
+# hardware next to the f32 headline number (VERDICT r3 next #8).
+step dword_pp512        2400 env EHYB_BENCH_DWORD=1 \
+                             python bench.py --run ehyb permuted_poisson_512 100
 
 # ---- phase 3: the full corpus sweep (longest; everything cached by now) --
 step sweep             14400 python scripts/sweep.py

@@ -308,3 +308,36 @@ def test_sharded_xla_body_runs_under_check_vma(poisson_mid):
                             mesh=make_mesh(8)).setup(m)
     x = deterministic_x(m.dimension)
     assert rel_error(model.matvec(x), oracle_spmv(m, x)) < 5e-6
+
+
+def test_sharded_degree_split_matches_oracle():
+    """VERDICT r3 next #9: the degree-split hybrid composed over the mesh —
+    sharded EHYB body on dense rows + sharded routed tail on the remainder,
+    one device add in the shared permuted space."""
+    from ehyb_spmv_gpu_tpu.parallel.hybrid import ShardedDegreeSplitSpmv
+
+    m = generate.random_general(6144, 24, seed=4, power_law=0.7)
+    model = ShardedDegreeSplitSpmv(
+        EhybConfig(window_rows=1024, artifact_cache=False),
+        mesh=make_mesh(4)).setup(m, threshold=32)
+    # both sub-engines actually carry work
+    assert model.e.m.nnz > 0 and model.r.m.nnz > 0
+    assert model.e.m.nnz + model.r.m.nnz == m.nnz
+    x = deterministic_x(m.dimension)
+    assert rel_error(model.matvec(x), oracle_spmv(m, x)) < 1e-5
+    assert model.bytes_model() > 0
+
+
+def test_sharded_degree_split_iterate():
+    """The tuple-x chained-iteration path (bench protocol) is exact at
+    eps=0 and sums disjoint rows."""
+    from ehyb_spmv_gpu_tpu.parallel.hybrid import ShardedDegreeSplitSpmv
+
+    m = generate.random_general(4096, 24, seed=6, power_law=0.7)
+    model = ShardedDegreeSplitSpmv(
+        EhybConfig(window_rows=1024, artifact_cache=False),
+        mesh=make_mesh(2)).setup(m, threshold=32)
+    x_dev = model.prepare_x(deterministic_x(m.dimension))
+    y1 = model.apply(x_dev)
+    y3 = model.iterate(x_dev, 3, eps=0.0)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y3))
