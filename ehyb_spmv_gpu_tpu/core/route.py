@@ -340,11 +340,37 @@ def _assign_steps_b(dslice: np.ndarray, dlane: np.ndarray,
         return np.where(step < MAX_COLORS, step, -1)
 
 
+def routed_row_perm(row: np.ndarray, n_rows: int, R: int) -> np.ndarray:
+    """The dst row order as a standalone permutation: within each band of
+    ``R`` consecutive rows, rows sorted by nnz count descending (stable).
+
+    This is exactly the order :func:`build_routed` would impose internally;
+    callers that PRE-permute the matrix by it (rows and, for square
+    chainable use, columns) can then build with ``identity_dst=True`` and
+    the engine's output needs NO element-granular scatter back to input
+    space — measured on v5e, that scatter (an XLA arbitrary gather over
+    ~dim elements) was 12.3 of random_1m's 14.6 ms/iter, i.e. the gather
+    wall re-entering at the pipe's own output.
+
+    Returns int64 ``perm`` of length ``n_bands*R`` with ``perm[p]`` = the
+    original row at dst position ``p``.  All real rows land at positions
+    ``< n_rows`` (synthetic count-0 tail rows sort last in the last band),
+    so ``perm[:n_rows]`` is a bijection on ``[0, n_rows)``.
+    """
+    n_bands = cdiv(round_up(n_rows, LANES), R)
+    n_dst = n_bands * R
+    counts = np.bincount(np.asarray(row), minlength=n_dst).astype(np.int64)
+    return np.argsort(
+        (np.arange(n_dst, dtype=np.int64) // R) * (counts.max() + 2)
+        - counts, kind="stable")
+
+
 def build_routed(m: MatrixCOO, R: Optional[int] = None,
                  P: Optional[int] = None,
                  out_rows: Optional[int] = None,
                  group_geometry: Optional[tuple] = None,
-                 octet_override: Optional[bool] = None) -> RoutedMatrix:
+                 octet_override: Optional[bool] = None,
+                 identity_dst: bool = False) -> RoutedMatrix:
     """Build the routed format + static schedules from an (un-reordered) COO
     matrix.  Entries that overflow their stage-A cell (past P) or exhaust the
     stage-B step budget (MAX_COLORS) spill to the XLA tail.
@@ -376,10 +402,16 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     # the soon-to-spill 0.1%, which cannot move a sort by integer counts
     # far) ------------------------------------------------------------------
     n_dst_rows = n_bands * R
-    counts = np.bincount(row, minlength=n_dst_rows).astype(np.int64)
-    order_in_band = np.argsort(
-        (np.arange(n_dst_rows, dtype=np.int64) // R) * (counts.max() + 2)
-        - counts, kind="stable")               # band-major, count desc
+    if identity_dst:
+        # Caller pre-permuted the matrix by routed_row_perm (or accepts the
+        # given row order): dst space == row space, and the apply's epilogue
+        # degenerates to a slice (no element-granular scatter).
+        order_in_band = np.arange(n_dst_rows, dtype=np.int64)
+    else:
+        counts = np.bincount(row, minlength=n_dst_rows).astype(np.int64)
+        order_in_band = np.argsort(
+            (np.arange(n_dst_rows, dtype=np.int64) // R) * (counts.max() + 2)
+            - counts, kind="stable")           # band-major, count desc
     dst_rows = order_in_band.astype(np.int32)  # dst position -> orig row
     dst_of_row = np.empty(n_dst_rows, dtype=np.int64)
     dst_of_row[order_in_band] = np.arange(n_dst_rows)

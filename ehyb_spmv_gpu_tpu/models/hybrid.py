@@ -100,7 +100,13 @@ class DegreeSplitSpmv(SpmvModel):
                         perm[ms.row.astype(np.int64)].astype(np.int32),
                         perm[ms.col.astype(np.int64)].astype(np.int32),
                         ms.val)
-        self.r = RoutedSpmv(self.config).setup(msp)
+        # external_order: the hybrid's shared space IS the EHYB permutation;
+        # the routed sub-engine builds identity-dst on it so both outputs
+        # combine with one add and no per-iteration scatter.  (The routed
+        # engine's own within-band density sort is traded away; the
+        # remainder's degrees are bounded by the split, so the dispersion
+        # the sort guards against is bounded too.)
+        self.r = RoutedSpmv(self.config, external_order=True).setup(msp)
         for part in (self.e, self.r):
             for k, v in part.setup_seconds.items():
                 self.setup_seconds[k] = self.setup_seconds.get(k, 0.0) + v

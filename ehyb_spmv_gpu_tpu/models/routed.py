@@ -37,10 +37,11 @@ from .base import SpmvModel
 log = get_logger(__name__)
 
 #: Bump on any route-builder semantic change.
-ROUTE_FORMAT_VERSION = 6  # 6: octet stage-B layout for thin widths; 5:
-# rectangular blocks + out_rows field; 4: searched (c, S_B) group
-# geometry; 3: B-slot-balancing stage-A colorer; 2: class-aware native
-# stage-A colorer
+ROUTE_FORMAT_VERSION = 7  # 7: identity-dst pre-permuted build (the output
+# epilogue was an XLA element scatter costing 85% of random_1m's runtime);
+# 6: octet stage-B layout for thin widths; 5: rectangular blocks +
+# out_rows field; 4: searched (c, S_B) group geometry; 3:
+# B-slot-balancing stage-A colorer; 2: class-aware native stage-A colorer
 
 #: Column width of one block in block mode (chain stays <= 16 regardless of
 #: dimension; per-block R scales to keep the A cells ~half full).
@@ -111,9 +112,21 @@ def _block_ranges(dim: int, block_cols: int = None) -> List[tuple]:
 
 class RoutedSpmv(SpmvModel):
     """Three-stage routed SpMV (gather-multiply → transpose → route-reduce),
-    column-blocked past the single-level chain bound."""
+    column-blocked past the single-level chain bound.
+
+    ``external_order=True`` skips the internal dst row permutation and
+    builds identity-dst on the row order AS GIVEN — for composers (the
+    degree-split hybrid) whose engines share one vector space and do their
+    own ordering.  The within-band density sort is a schedule-quality
+    heuristic, not a correctness requirement; external callers trade it for
+    a scatter-free shared space.
+    """
 
     name = "ehyb_routed"
+
+    def __init__(self, config=None, external_order: bool = False):
+        super().__init__(config)
+        self._external_order = external_order
 
     def _mode(self) -> str:
         force = os.environ.get("EHYB_FORCE_PALLAS", "").lower()
@@ -148,11 +161,71 @@ class RoutedSpmv(SpmvModel):
         return self
 
     def _setup_blocks(self, m: MatrixCOO, ranges: List[tuple]) -> None:
-        from ..core.route import _choose_params
+        from ..core.route import _choose_params, routed_row_perm
         from ..ops.route_pallas import make_routed_apply
 
         cfg = self.config
         t0 = time.perf_counter()
+        dim = m.dimension
+        n_blocks = len(ranges)
+        # artifact cache keys stay on the matrix AS GIVEN (the permuted
+        # build is a deterministic function of it)
+        self._cache_m = m
+
+        # ---- pre-permute by the dst row order (identity-dst build) --------
+        # The engine's dst space becomes the model's input space: x is
+        # permuted ONCE on the host (prepare_x) and the per-iteration output
+        # epilogue is a slice instead of an XLA element scatter (measured
+        # 12.3 of 14.6 ms/iter on random_1m; 4x that on random_4m, where the
+        # scatter ran per column block).  Rows and columns permute together
+        # (square SpMV: y' = P·A·Pᵀ·x'), so CG/power-iteration chain in the
+        # permuted space exactly like the EHYB models chain in theirs.
+        if self._external_order:
+            self._perm = np.arange(dim, dtype=np.int64)
+            self._r_shared = None
+            self._setup_blocks_inner(m, ranges, t0)
+            return
+        perm_path = (_cache_path(m, cfg.cache_dir, "-perm")
+                     if cfg.artifact_cache else None)
+        self._perm = None
+        if perm_path is not None and os.path.exists(perm_path):
+            try:
+                z = np.load(perm_path)
+                self._perm, r_shared = z["perm"], int(z["R"])
+            except Exception as exc:  # pragma: no cover - corrupt cache
+                log.warning("perm cache load failed (%s); rebuilding", exc)
+        if self._perm is None:
+            # shared row-band size: every block's bands must match the one
+            # global perm, so pin the most conservative per-block choice
+            r_shared = None
+            col0 = np.asarray(m.col)
+            for lo, hi in ranges:
+                sel_n = (int(((col0 >= lo) & (col0 < hi)).sum())
+                         if n_blocks > 1 else m.nnz)
+                _, r_i, _ = _choose_params(m.n_rows, hi - lo, sel_n,
+                                           None, None)
+                r_shared = r_i if r_shared is None else min(r_shared, r_i)
+            self._perm = routed_row_perm(m.row, dim, r_shared)[:dim]
+            if perm_path is not None:
+                os.makedirs(os.path.dirname(perm_path), exist_ok=True)
+                tmp = perm_path + f".tmp{os.getpid()}"
+                np.savez(tmp, perm=self._perm, R=np.int64(r_shared))
+                os.replace(tmp + ".npz", perm_path)
+        self._r_shared = r_shared
+        inv = np.empty(dim, dtype=np.int64)
+        inv[self._perm] = np.arange(dim)
+        m = MatrixCOO(m.n_rows, m.n_cols,
+                      inv[np.asarray(m.row, dtype=np.int64)],
+                      inv[np.asarray(m.col, dtype=np.int64)],
+                      np.asarray(m.val))
+        self._setup_blocks_inner(m, ranges, t0)
+
+    def _setup_blocks_inner(self, m: MatrixCOO, ranges: List[tuple],
+                            t0: float) -> None:
+        from ..core.route import _choose_params
+        from ..ops.route_pallas import make_routed_apply
+
+        cfg = self.config
         dim = m.dimension
         n_blocks = len(ranges)
         col = np.asarray(m.col)
@@ -170,14 +243,15 @@ class RoutedSpmv(SpmvModel):
             geo = []
             L = round_up(dim, WIN)
             for i, (lo, hi) in enumerate(ranges):
+                # R pinned to the perm's shared band size; P per block
                 n_win_i, r_i, p_i = _choose_params(
-                    m.n_rows, hi - lo, int(nnz_b[i]), None, None)
+                    m.n_rows, hi - lo, int(nnz_b[i]), self._r_shared, None)
                 geo.append((r_i, p_i))
                 L = max(L, lo + n_win_i * WIN)
             self._x_rows = L
             out_rows = L
         else:
-            geo = [(None, None)]
+            geo = [(self._r_shared, None)]
             self._x_rows = None
             out_rows = None  # builder default (square case)
         self.blocks: List[RoutedMatrix] = []
@@ -186,9 +260,10 @@ class RoutedSpmv(SpmvModel):
         self._lo = []
         interpret = self._mode() == "interpret"
         convert_s = 0.0
+        ext = "-ext" if self._external_order else ""
         for i, (lo, hi) in enumerate(ranges):
-            tag = f"-b{i}of{n_blocks}" if n_blocks > 1 else ""
-            path = _cache_path(m, cfg.cache_dir, tag)
+            tag = ext + (f"-b{i}of{n_blocks}" if n_blocks > 1 else "")
+            path = _cache_path(self._cache_m, cfg.cache_dir, tag)
             rm = _load_routed(path) if cfg.artifact_cache else None
             if rm is None:
                 t1 = time.perf_counter()
@@ -200,9 +275,10 @@ class RoutedSpmv(SpmvModel):
                         col=col[sel] - lo,
                         val=np.asarray(m.val)[sel])
                     rm = build_routed(sub, R=geo[i][0], P=geo[i][1],
-                                      out_rows=out_rows)
+                                      out_rows=out_rows, identity_dst=True)
                 else:
-                    rm = build_routed(m, out_rows=out_rows)
+                    rm = build_routed(m, R=geo[i][0], out_rows=out_rows,
+                                      identity_dst=True)
                 convert_s += time.perf_counter() - t1
                 if cfg.artifact_cache:
                     _save_routed(rm, path)
@@ -227,14 +303,19 @@ class RoutedSpmv(SpmvModel):
         return self.dev
 
     def prepare_x(self, x: np.ndarray) -> jax.Array:
+        # into the engine's (dst-ordered) space — host-side, once, outside
+        # the timed region, exactly like the EHYB models' vector_reorder
         xp = np.zeros(self._padded_x_rows, dtype=np.float32)
-        xp[: self.m.dimension] = np.asarray(x, dtype=np.float32)
+        xp[: self.m.dimension] = np.asarray(x, dtype=np.float32)[self._perm]
         return jnp.asarray(xp)
 
     def recover_y(self, y: jax.Array) -> np.ndarray:
-        # apply already returns input-space y (route_pallas scatters the
-        # dst-ordered result back through dst_rows on device)
-        return np.asarray(y, dtype=np.float64)[: self.m.n_rows]
+        # apply returns dst-space y == the permuted input space: un-permute
+        # on the host (the reference recovers its y the same way,
+        # reordering.c:386-391)
+        out = np.empty(self.m.n_rows, dtype=np.float64)
+        out[self._perm] = np.asarray(y, dtype=np.float64)[: self.m.n_rows]
+        return out
 
     def bytes_model(self) -> int:
         """Modeled HBM bytes per iteration (roofline denominator).

