@@ -121,6 +121,17 @@ def run_model(model_name: str, matrix_name: str, iters: int) -> int:
     # so the record shows which kernels the headline actually validated.
     phase_split = {k: stats.get(k, 0) for k in
                    ("ell_steps", "nnz_ell", "nnz_dia", "nnz_er", "nnz_long")}
+    # Routing-engine stats (models/routed.py, models/hybrid.py): the engine
+    # the delegation gate may have swapped in has no EHYB stats container, so
+    # surface its schedule split (routed vs spilled nnz) in the same record.
+    rblocks = (getattr(model, "blocks", None)
+               or getattr(getattr(model, "r", None), "blocks", None))
+    if rblocks:
+        phase_split["nnz_routed"] = int(sum(b.stats.get("nnz_routed", 0)
+                                            for b in rblocks))
+        phase_split["nnz_spill"] = int(sum(b.stats.get("nnz_spill", 0)
+                                           for b in rblocks))
+    phase_split["engine"] = type(model).__name__
     log(f"[{model_name}] phase split: {phase_split}")
     print(RESULT_TAG + json.dumps({
         "model": model_name, "gflops": res.gflops, "seconds": res.seconds,
@@ -206,6 +217,16 @@ def main() -> int:
 
     second = run_child("ehyb", secondary, iters) if secondary else None
 
+    # Gather-wall tertiary (VERDICT r3 next #2): a scattered-column matrix
+    # where the EHYB body hits the VPU gather wall and the delegation gate
+    # hands off to the routing engine (models/routed.py — the TPU answer to
+    # the reference's hardware-gather ER phase, kernel.cu:169-194).  Reported
+    # in the JSON tail so the driver record shows the regime every round.
+    gw_matrix = os.environ.get("EHYB_BENCH_GATHER", "random_1m")
+    gw_model = os.environ.get("EHYB_BENCH_GATHER_MODEL", "ehyb")
+    gather = (run_child(gw_model, gw_matrix, min(iters, 100), timeout=2400)
+              if gw_matrix else None)
+
     vs = flagship["gflops"] / baseline["gflops"] if baseline else 0.0
     log(f"flagship[{flagship['model']}@{matrix}] {flagship['gflops']:.2f} "
         f"GFLOP/s (HBM roofline {100*flagship['roofline_frac']:.1f}%"
@@ -217,12 +238,25 @@ def main() -> int:
     if second:
         log(f"secondary[ehyb@{secondary}] {second['gflops']:.2f} GFLOP/s "
             f"(roofline {100*second['roofline_frac']:.1f}%)")
-    print(json.dumps({
+    tail = {
         "metric": f"spmv_gflops_{matrix}_{flagship.get('backend', 'tpu')}",
         "value": round(flagship["gflops"], 3),
         "unit": "GFLOP/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if gather:
+        log(f"gather-wall[{gw_model}@{gw_matrix}] {gather['gflops']:.2f} "
+            f"GFLOP/s engine={gather.get('engine', '?')} "
+            f"nnz_routed={gather.get('nnz_routed', 0)} "
+            f"nnz_spill={gather.get('nnz_spill', 0)}")
+        tail["gather_wall"] = {
+            "matrix": gw_matrix, "model": gw_model,
+            "engine": gather.get("engine"),
+            "gflops": round(gather["gflops"], 3),
+            "nnz_routed": gather.get("nnz_routed", 0),
+            "nnz_spill": gather.get("nnz_spill", 0),
+        }
+    print(json.dumps(tail))
     return 0
 
 
