@@ -36,17 +36,24 @@ _WSPAN = 1024
 _TILE = 8
 #: Above this nnz the ordering auto-selector estimates on a uniform entry
 #: subsample (module-level so tests can exercise the sampled path).
-#: 8M: the per-candidate estimate lexsorts dominate above this; ranking is
-#: preserved by the uniform subsample (VERDICT r1 #8 protocol).
-SAMPLE_CAP = 8_000_000
+#: 2M (was 8M): the per-candidate estimate sorts dominate above this, and the
+#: ranking is preserved by the uniform subsample — measured on
+#: permuted_poisson_1024 (5.2M nnz): top pick identical at full/2M/1M caps,
+#: the only movement a #2/#3 swap between candidates 0.3% apart (round-4
+#: cold-setup work, VERDICT r3 next #7; r1 #8 protocol).
+SAMPLE_CAP = 2_000_000
 
 
-def rcm_order(m: MatrixCOO) -> np.ndarray:
+def rcm_order(m: MatrixCOO, adj=None) -> np.ndarray:
     """Pseudo-RCM: BFS level sets from a min-degree seed, each level sorted by
-    degree, order reversed.  Returns ``new_to_old``.  Vectorized per level."""
+    degree, order reversed.  Returns ``new_to_old``.  Vectorized per level.
+
+    ``adj``: optional precomputed ``adjacency_csr(m)`` (shared with the
+    partitioner by the auto-selector — it is the order phase's largest
+    single cost at audikw scale)."""
     from ..partition import adjacency_csr
 
-    xadj, adjncy = adjacency_csr(m)
+    xadj, adjncy = adj if adj is not None else adjacency_csr(m)
     dim = m.dimension
     deg = np.diff(xadj)
     visited = np.zeros(dim, dtype=bool)
@@ -202,16 +209,23 @@ def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
     # times; on permuted_poisson_4096 that alone was most of a 798 s order
     # phase — VERDICT r2 #6's "preprocessing is supposed to be cheap")
 
+    def get_adj():
+        if "adj" not in shared:
+            from ..partition import adjacency_csr
+
+            shared["adj"] = adjacency_csr(m)
+        return shared["adj"]
+
     def get_labels():
         if "labels" not in shared:
             shared["labels"] = partition_rows(
                 m, plan.n_parts, config.partitioner,
-                config.partition_imbalance)
+                config.partition_imbalance, adj=get_adj())
         return shared["labels"]
 
     def get_rcm_base():
         if "rcm" not in shared:
-            shared["rcm"] = rcm_order(m)
+            shared["rcm"] = rcm_order(m, adj=get_adj())
         return shared["rcm"]
 
     def natural():

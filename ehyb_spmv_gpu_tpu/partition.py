@@ -59,8 +59,14 @@ def partition_blocks(dim: int, n_parts: int) -> np.ndarray:
 
 
 def partition_rows(m: MatrixCOO, n_parts: int, method: str = "auto",
-                   imbalance: float = 1.03, seed: int = 0) -> np.ndarray:
-    """Return per-row partition labels in [0, n_parts)."""
+                   imbalance: float = 1.03, seed: int = 0,
+                   adj=None) -> np.ndarray:
+    """Return per-row partition labels in [0, n_parts).
+
+    ``adj``: optional precomputed ``adjacency_csr(m)`` pair — the ordering
+    auto-selector builds it once and shares it across RCM + the partitioner
+    (it is an O(nnz log nnz) sort, the order phase's largest single cost).
+    """
     dim = m.dimension
     if n_parts <= 1:
         return np.zeros(dim, dtype=np.int32)
@@ -69,7 +75,7 @@ def partition_rows(m: MatrixCOO, n_parts: int, method: str = "auto",
     if method in ("auto", "native"):
         try:
             from .native import kway_partition_native
-            xadj, adjncy = adjacency_csr(m)
+            xadj, adjncy = adj if adj is not None else adjacency_csr(m)
             t0 = time.perf_counter()
             labels = kway_partition_native(xadj, adjncy, n_parts,
                                            imbalance=imbalance, seed=seed)
