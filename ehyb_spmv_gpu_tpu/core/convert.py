@@ -27,6 +27,7 @@ Conversion invariants (checked by ``verify_conversion`` and unit tests, not by
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -786,13 +787,32 @@ def extract_diagonals(row: np.ndarray, col: np.ndarray, val: np.ndarray,
              np.zeros(row.shape[0], dtype=bool))
     if row.shape[0] == 0 or threshold <= 0 or max_k <= 0 or lo > hi:
         return empty
-    d = col.astype(np.int64) - row.astype(np.int64)
-    eligible = (d >= lo) & (d <= hi)
-    if not eligible.any():
-        return empty
-    # Count entries per offset (only over the eligible band).
-    de = d[eligible]
-    counts = np.bincount(de - lo, minlength=hi - lo + 1)
+
+    use_native = os.environ.get("EHYB_NATIVE_DIA", "1") != "0"
+    native_mod = None
+    if use_native:
+        from .. import native as native_mod_  # deferred: compiles on first use
+        native_mod = native_mod_
+
+    # --- pass 1: per-offset counts over the band ---------------------------
+    d = None
+    if native_mod is not None:
+        try:
+            counts = native_mod.dia_count_native(row, col, lo, hi)
+        except (native_mod.NativeBuildError, OSError):
+            native_mod = None
+    if native_mod is None:
+        d = col.astype(np.int64) - row.astype(np.int64)
+        if lo == -(dim - 1) and hi == dim - 1:
+            de = d  # full band: every entry eligible, skip the mask pass
+            eligible = None
+        else:
+            eligible = (d >= lo) & (d <= hi)
+            if not eligible.any():
+                return empty
+            de = d[eligible]
+        counts = np.bincount(de - lo, minlength=hi - lo + 1)
+
     min_count = max(1, int(np.ceil(threshold * dim)))
     cand = np.flatnonzero(counts >= min_count)
     if cand.size == 0:
@@ -801,21 +821,31 @@ def extract_diagonals(row: np.ndarray, col: np.ndarray, val: np.ndarray,
         cand = cand[np.argsort(-counts[cand], kind="stable")[:max_k]]
         cand.sort()
     offsets = cand.astype(np.int64) + lo
-
-    off_rank = np.full(hi - lo + 1, -1, dtype=np.int64)
-    off_rank[offsets - lo] = np.arange(offsets.shape[0])
-    keep = np.zeros(row.shape[0], dtype=bool)
-    keep[eligible] = off_rank[de - lo] >= 0
-
+    K = offsets.shape[0]
     dim_r = round_up(max(dim, 1), LANES)
-    k_of = off_rank[d[keep] - lo]
+
+    off_rank = np.full(hi - lo + 1, -1, dtype=np.int32)
+    off_rank[offsets - lo] = np.arange(K, dtype=np.int32)
+
+    # --- pass 2: scatter-add into the dense (K, dim_r) block ---------------
     # Accumulate (not assign): tolerates duplicate COO entries, matching
-    # dense semantics.  bincount instead of np.add.at — the ufunc scatter
-    # costs tens of seconds on a 74M-nnz audikw-class extraction.
+    # dense semantics.
+    if native_mod is not None:
+        dia, keep = native_mod.dia_fill_native(row, col, val, lo, hi,
+                                               off_rank, dim_r, K)
+        return offsets, dia.astype(val_dtype), keep
+
+    if eligible is None:
+        keep = off_rank[d - lo] >= 0
+    else:
+        keep = np.zeros(row.shape[0], dtype=bool)
+        keep[eligible] = off_rank[de - lo] >= 0
+    k_of = off_rank[d[keep] - lo].astype(np.int64)
+    # bincount instead of np.add.at — the ufunc scatter costs tens of
+    # seconds on a 74M-nnz audikw-class extraction.
     flat = k_of * dim_r + row[keep]
-    acc = np.bincount(flat, weights=val[keep],
-                      minlength=offsets.shape[0] * dim_r)
-    dia_val = acc.reshape(offsets.shape[0], dim_r).astype(val_dtype)
+    acc = np.bincount(flat, weights=val[keep], minlength=K * dim_r)
+    dia_val = acc.reshape(K, dim_r).astype(val_dtype)
     return offsets, dia_val, keep
 
 

@@ -219,6 +219,80 @@ def color_edges_native(pair: np.ndarray, lane: np.ndarray, slot: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Native DIA extractor (converter hot path; see diaextract.cpp).
+# ---------------------------------------------------------------------------
+
+_dialib = None
+
+
+def _load_dia():
+    global _dialib
+    if _dialib is not None:
+        return _dialib
+    path = _compile(os.path.join(_HERE, "diaextract.cpp"),
+                    os.path.join(_HERE, "libehybdia.so"))
+    lib = ctypes.CDLL(path)
+    lib.ehyb_dia_count.restype = ctypes.c_longlong
+    lib.ehyb_dia_count.argtypes = [
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # row
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # col
+        ctypes.c_longlong, ctypes.c_longlong,            # lo, hi
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # out: counts
+    ]
+    lib.ehyb_dia_fill.restype = ctypes.c_longlong
+    lib.ehyb_dia_fill.argtypes = [
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # row
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # col
+        np.ctypeslib.ndpointer(np.float64, flags="C"),   # val
+        ctypes.c_longlong, ctypes.c_longlong,            # lo, hi
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # off_rank
+        ctypes.c_longlong,                               # dim_r
+        np.ctypeslib.ndpointer(np.float64, flags="C"),   # out: dia (K*dim_r)
+        np.ctypeslib.ndpointer(np.uint8, flags="C"),     # out: keep
+    ]
+    _dialib = lib
+    return lib
+
+
+def dia_count_native(row: np.ndarray, col: np.ndarray, lo: int,
+                     hi: int) -> np.ndarray:
+    """Per-offset entry counts over the band [lo, hi] (diaextract.cpp pass 1).
+
+    Returns int64 counts of length (hi - lo + 1); counts[d - lo] is the
+    number of entries with col - row == d.
+    """
+    lib = _load_dia()
+    row = np.ascontiguousarray(row, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    counts = np.zeros(hi - lo + 1, dtype=np.int64)
+    rc = lib.ehyb_dia_count(row.shape[0], row, col, int(lo), int(hi), counts)
+    if rc < 0:
+        raise RuntimeError(f"native dia count failed (code {rc})")
+    return counts
+
+
+def dia_fill_native(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                    lo: int, hi: int, off_rank: np.ndarray, dim_r: int,
+                    k: int):
+    """Scatter-add in-band entries into the (k, dim_r) dense diagonal block
+    (diaextract.cpp pass 2).  Accumulates f64; returns (dia, keep_mask)."""
+    lib = _load_dia()
+    row = np.ascontiguousarray(row, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    val = np.ascontiguousarray(val, dtype=np.float64)
+    off_rank = np.ascontiguousarray(off_rank, dtype=np.int32)
+    dia = np.zeros(max(k, 1) * dim_r, dtype=np.float64)
+    keep = np.empty(row.shape[0], dtype=np.uint8)
+    kept = lib.ehyb_dia_fill(row.shape[0], row, col, val, int(lo), int(hi),
+                             off_rank, int(dim_r), dia, keep)
+    if kept < 0:
+        raise RuntimeError(f"native dia fill failed (code {kept})")
+    return dia[:k * dim_r].reshape(k, dim_r), keep.view(bool)
+
+
+# ---------------------------------------------------------------------------
 # Native mtx entry parser (data-loader; see mtxparse.cpp).
 # ---------------------------------------------------------------------------
 

@@ -49,6 +49,30 @@ def test_extract_diagonals_basic():
     assert not keep[-40:].any()
 
 
+@pytest.mark.parametrize("band", [(None, None), (-8, 8)])
+def test_extract_native_matches_numpy(monkeypatch, band):
+    """diaextract.cpp two-pass path ≡ the NumPy formulation, incl. duplicate
+    COO entries (scatter-ADD semantics) and band restriction."""
+    rng = np.random.default_rng(5)
+    dim = 300
+    row = rng.integers(0, dim, 4000)
+    col = rng.integers(0, dim, 4000)
+    i = np.arange(dim - 2, dtype=np.int64)
+    row = np.concatenate([row, i, i, i])   # duplicated diag + a +2 diagonal
+    col = np.concatenate([col, i, i, i + 2])
+    val = rng.standard_normal(row.size)
+    args = (row.astype(np.int64), col.astype(np.int64), val, dim, 0.5, 16,
+            np.float64)
+    kw = dict(off_lo=band[0], off_hi=band[1])
+    o1, d1, k1 = extract_diagonals(*args, **kw)   # native (default on)
+    monkeypatch.setenv("EHYB_NATIVE_DIA", "0")
+    o0, d0, k0 = extract_diagonals(*args, **kw)
+    np.testing.assert_array_equal(o1, o0)
+    np.testing.assert_allclose(d1, d0, rtol=1e-15)
+    np.testing.assert_array_equal(k1, k0)
+    assert k1.dtype == np.bool_ and d1.shape == d0.shape
+
+
 def test_extract_respects_threshold_and_cap():
     dim = 128
     i = np.arange(dim, dtype=np.int64)
