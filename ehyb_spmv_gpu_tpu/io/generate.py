@@ -165,22 +165,48 @@ def load_corpus(name: str, cache_dir: str = None) -> MatrixCOO:
     d = cache_dir or os.environ.get(
         "EHYB_CORPUS_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "ehyb", "corpus"))
-    path = os.path.join(d, f"{name}.npz")
-    if os.path.exists(path):
-        z = np.load(path)
-        return MatrixCOO(int(z["n_rows"]), int(z["n_cols"]),
-                         z["row"].astype(np.int64), z["col"].astype(np.int64),
-                         z["val"])
+    base = os.path.join(d, name)
+    # Raw .npy per array (direct fread) — np.load on an .npz goes through
+    # zipfile (crc32 + small-chunk reads) and measured 71 s on a 1.2 GB
+    # audikw-class cache entry vs ~2 s for the same bytes as plain .npy.
+    # The .ok marker (written last) is the commit point for concurrent
+    # bench subprocesses; per-file write-then-rename avoids torn arrays.
+    ok = base + ".ok"
+    if os.path.exists(ok):
+        with open(ok) as f:
+            n_rows, n_cols = (int(t) for t in f.read().split())
+        return MatrixCOO(n_rows, n_cols,
+                         np.load(base + ".row.npy").astype(np.int64),
+                         np.load(base + ".col.npy").astype(np.int64),
+                         np.load(base + ".val.npy"))
+    legacy = base + ".npz"
+    if os.path.exists(legacy):
+        z = np.load(legacy)
+        m = MatrixCOO(int(z["n_rows"]), int(z["n_cols"]),
+                      z["row"].astype(np.int64), z["col"].astype(np.int64),
+                      z["val"])
+        _write_corpus_cache(base, m)          # upgrade in place
+        os.remove(legacy)
+        return m
     m = CORPUS[name]()
     os.makedirs(d, exist_ok=True)
-    tmp = path + f".tmp{os.getpid()}.npz"
-    # int32 indices (every corpus dim < 2^31) halve the file; write-then-
-    # rename keeps concurrent bench subprocesses from reading a torn file.
-    np.savez(tmp, n_rows=m.n_rows, n_cols=m.n_cols,
-             row=m.row.astype(np.int32), col=m.col.astype(np.int32),
-             val=m.val)
-    os.replace(tmp, path)
+    _write_corpus_cache(base, m)
     return m
+
+
+def _write_corpus_cache(base: str, m: MatrixCOO) -> None:
+    import os
+
+    # int32 indices (every corpus dim < 2^31) halve the file.
+    for stem, arr in (("row", m.row.astype(np.int32)),
+                      ("col", m.col.astype(np.int32)), ("val", m.val)):
+        tmp = f"{base}.{stem}.tmp{os.getpid()}.npy"
+        np.save(tmp, arr)
+        os.replace(tmp, f"{base}.{stem}.npy")
+    tmp = f"{base}.ok.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(f"{m.n_rows} {m.n_cols}")
+    os.replace(tmp, base + ".ok")
 
 
 #: Named corpus used by tests and the benchmark sweep (the stand-in for the

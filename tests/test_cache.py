@@ -99,9 +99,26 @@ def test_fingerprint_is_fast_on_large_input():
 
 def test_load_corpus_disk_cache(tmp_path):
     m1 = generate.load_corpus("poisson2d_64", cache_dir=str(tmp_path))
-    assert (tmp_path / "poisson2d_64.npz").exists()
+    assert (tmp_path / "poisson2d_64.ok").exists()
+    assert (tmp_path / "poisson2d_64.row.npy").exists()
     m2 = generate.load_corpus("poisson2d_64", cache_dir=str(tmp_path))
     np.testing.assert_array_equal(m1.row, m2.row)
     np.testing.assert_array_equal(m1.col, m2.col)
     np.testing.assert_array_equal(m1.val, m2.val)
     assert matrix_fingerprint(m1) == matrix_fingerprint(m2)
+
+
+def test_load_corpus_legacy_npz_upgrade(tmp_path):
+    # A pre-round-4 .npz cache entry is read once, rewritten as raw .npy,
+    # and removed.
+    m0 = generate.CORPUS["poisson2d_64"]()
+    np.savez(tmp_path / "poisson2d_64.npz", n_rows=m0.n_rows, n_cols=m0.n_cols,
+             row=m0.row.astype(np.int32), col=m0.col.astype(np.int32),
+             val=m0.val)
+    m1 = generate.load_corpus("poisson2d_64", cache_dir=str(tmp_path))
+    assert not (tmp_path / "poisson2d_64.npz").exists()
+    assert (tmp_path / "poisson2d_64.ok").exists()
+    m2 = generate.load_corpus("poisson2d_64", cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(m1.row, m2.row)
+    np.testing.assert_array_equal(m1.val, m2.val)
+    assert matrix_fingerprint(m0) == matrix_fingerprint(m2)
