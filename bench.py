@@ -88,7 +88,11 @@ def run_model(model_name: str, matrix_name: str, iters: int) -> int:
     # EHYB_BENCH_DWORD=1: bench the f64-contract pipeline (spmv.h:46 analog,
     # ops/dword.py) to measure the f32x2 cost ratio on hardware.
     dword = os.environ.get("EHYB_BENCH_DWORD", "") not in ("", "0")
-    cfg = EhybConfig(artifact_cache=True, dword_values=dword)
+    # EHYB_BENCH_DELEGATE=never: pin the EHYB body even where the gate would
+    # swap in the routed/split engine — the body-alone comparison column.
+    delegate = os.environ.get("EHYB_BENCH_DELEGATE", "auto")
+    cfg = EhybConfig(artifact_cache=True, dword_values=dword,
+                     routed_delegate=delegate)
     model = ehyb.MODELS[model_name](cfg).setup(m)
     err = rel_error(model.matvec(x), want)
     log(f"[{model_name}] rel_error={err:.3e}{' (dword)' if dword else ''}")
