@@ -20,6 +20,7 @@ and the x/y permutations are uniform.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -299,7 +300,25 @@ def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
     else:
         s_row, s_col, est_cfg, scale = m.row, m.col, config, 1.0
     best_name, best_r, best_cost = None, None, None
+    # Partition-futility gate: the graph partitioner is by far the most
+    # expensive candidate to BUILD (261 s on the powerlaw_1m split body,
+    # where it then won over rcm_pattern by 1.1% estimated cost).  When the
+    # best RCM-family candidate is still far above the perfect-fill floor,
+    # the matrix is gather-wall-shaped: no row grouping can close an
+    # orders-of-magnitude fill gap (the routed engine exists for that), so
+    # the partition candidates can only shave noise — skip building them.
+    # Structured matrices never hit this: RCM recovery lands near the floor
+    # (and ≤1.5x floor early-stops the loop entirely, below).
+    skip_k = float(os.environ.get("EHYB_ORDER_PART_SKIP", "32"))
     for name, fn in candidates.items():
+        if (name.startswith("partition") and "labels" not in shared
+                and best_cost is not None and skip_k > 0
+                and best_cost > skip_k * floor):
+            log.info("ordering %s skipped: best %.0f is %.0fx the nnz floor "
+                     "— grouping cannot close a gather-wall fill gap "
+                     "(EHYB_ORDER_PART_SKIP=0 forces evaluation)",
+                     name, best_cost, best_cost / floor)
+            continue
         r = fn()
         if config.features.dia:
             cost = estimate_cost(r.old_to_new[s_row], r.old_to_new[s_col],

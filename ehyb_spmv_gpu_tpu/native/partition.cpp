@@ -17,7 +17,10 @@
 // preprocessing is one-time and off the measured path (cf. SURVEY.md §3.1).
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <numeric>
 #include <random>
@@ -87,19 +90,30 @@ Graph contract(const Graph& g, const std::vector<i32>& cmap, i32 cn) {
   for (i32 v = 0; v < g.n; ++v) cg.vwgt[cmap[v]] += g.vwgt[v];
   cg.total_vwgt = g.total_vwgt;
 
-  // Bucket fine edges by coarse source, merging duplicate targets with a
-  // scratch "seen" table.
-  std::vector<std::vector<i32>> verts_of(cn);
-  for (i32 v = 0; v < g.n; ++v) verts_of[cmap[v]].push_back(v);
+  // Counting-sort fine vertices by coarse id (no per-vertex vectors — the
+  // vector-of-vectors formulation spent most of its time in the allocator
+  // at 1M-vertex scale), then merge duplicate targets per coarse vertex
+  // with a scratch "seen" table.
+  std::vector<i32> coff(cn + 1, 0);
+  for (i32 v = 0; v < g.n; ++v) ++coff[cmap[v] + 1];
+  for (i32 c = 0; c < cn; ++c) coff[c + 1] += coff[c];
+  std::vector<i32> verts(g.n);
+  {
+    std::vector<i32> pos(coff.begin(), coff.end() - 1);
+    for (i32 v = 0; v < g.n; ++v) verts[pos[cmap[v]]++] = v;
+  }
 
   cg.xadj.assign(cn + 1, 0);
+  cg.adjncy.reserve(g.adjncy.size());
+  cg.adjwgt.reserve(g.adjncy.size());
   std::vector<i32> seen(cn, -1);
   std::vector<i32> tmp_nbr;
   std::vector<i32> tmp_wgt;
   for (i32 c = 0; c < cn; ++c) {
     tmp_nbr.clear();
     tmp_wgt.clear();
-    for (i32 v : verts_of[c]) {
+    for (i32 i = coff[c]; i < coff[c + 1]; ++i) {
+      const i32 v = verts[i];
       for (i32 e = g.xadj[v]; e < g.xadj[v + 1]; ++e) {
         const i32 cu = cmap[g.adjncy[e]];
         if (cu == c) continue;  // internal edge vanishes
@@ -197,9 +211,17 @@ void refine(const Graph& g, i32 nparts, double max_wgt, std::vector<i32>* part,
 
   std::vector<i64> conn(nparts, 0);  // scratch: edge weight to each part
   std::vector<i32> touched;
+  // Boundary-restricted sweeps: pass 0 visits every vertex; later passes
+  // only vertices whose neighborhood changed (a move can only alter the
+  // gain of the mover's neighbors).  On structureless graphs the full
+  // sweeps dominated the partition cost — 4 passes x O(m) random access
+  // per uncoarsen level was the bulk of a 261 s powerlaw_1m partition.
+  std::vector<uint8_t> active(g.n, 1);
+  std::vector<uint8_t> next_active(g.n, 0);
   for (int pass = 0; pass < passes; ++pass) {
     i64 moved = 0;
     for (i32 v = 0; v < g.n; ++v) {
+      if (!active[v]) continue;
       const i32 pv = (*part)[v];
       touched.clear();
       for (i32 e = g.xadj[v]; e < g.xadj[v + 1]; ++e) {
@@ -226,9 +248,15 @@ void refine(const Graph& g, i32 nparts, double max_wgt, std::vector<i32>* part,
         pw[pv] -= g.vwgt[v];
         pw[best] += g.vwgt[v];
         ++moved;
+        next_active[v] = 1;
+        for (i32 e = g.xadj[v]; e < g.xadj[v + 1]; ++e)
+          next_active[g.adjncy[e]] = 1;
       }
     }
-    if (moved == 0) break;
+    // Diminishing returns: stop when a pass moves (almost) nothing.
+    if (moved <= g.n / 2000) break;
+    active.swap(next_active);
+    std::fill(next_active.begin(), next_active.end(), 0);
   }
 }
 
@@ -264,6 +292,13 @@ long long ehyb_partition_kway(int n, const int* xadj, const int* adjncy,
   g.vwgt.assign(n, 1);
   g.total_vwgt = n;
 
+  const bool verbose = std::getenv("EHYB_PART_VERBOSE") != nullptr;
+  const auto t0 = std::chrono::steady_clock::now();
+  auto secs = [&t0]() {
+    return std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+        .count();
+  };
+
   // Coarsen.
   std::vector<Graph> levels;
   std::vector<std::vector<i32>> cmaps;
@@ -275,6 +310,9 @@ long long ehyb_partition_kway(int n, const int* xadj, const int* adjncy,
     const i32 cn = heavy_edge_matching(fine, &cmap, &rng);
     if (cn >= fine.n * 95 / 100) break;  // matching stalled
     Graph coarse = contract(fine, cmap, cn);
+    if (verbose)
+      std::fprintf(stderr, "[part] %6.2fs level %zu: %d -> %d (m %zu)\n",
+                   secs(), levels.size(), fine.n, cn, coarse.adjncy.size());
     cmaps.push_back(std::move(cmap));
     levels.push_back(std::move(coarse));
   }
@@ -284,7 +322,11 @@ long long ehyb_partition_kway(int n, const int* xadj, const int* adjncy,
       imbalance * (static_cast<double>(levels[0].total_vwgt) / nparts) + 1.0;
   std::vector<i32> part;
   initial_partition(levels.back(), nparts, max_wgt, &part, &rng);
+  if (verbose)
+    std::fprintf(stderr, "[part] %6.2fs initial partition (n %d)\n", secs(),
+                 levels.back().n);
   refine(levels.back(), nparts, max_wgt, &part, /*passes=*/8);
+  if (verbose) std::fprintf(stderr, "[part] %6.2fs coarsest refine\n", secs());
 
   // Uncoarsen + refine at each level.
   for (i32 lvl = static_cast<i32>(levels.size()) - 2; lvl >= 0; --lvl) {
@@ -294,6 +336,7 @@ long long ehyb_partition_kway(int n, const int* xadj, const int* adjncy,
     part = std::move(fine_part);
     refine(levels[lvl], nparts, max_wgt, &part, /*passes=*/lvl == 0 ? 2 : 4);
   }
+  if (verbose) std::fprintf(stderr, "[part] %6.2fs uncoarsen+refine\n", secs());
 
   std::memcpy(part_out, part.data(), sizeof(int) * n);
   return edge_cut(levels[0], part);

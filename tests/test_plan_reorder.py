@@ -200,3 +200,25 @@ def test_ordering_sampled_estimates(poisson_mid, monkeypatch):
     r_sampled = od.pick_ordering(m, plan, cfg, "auto")
     # a structured matrix must keep its natural/banded ordering either way
     np.testing.assert_array_equal(r_full.new_to_old, r_sampled.new_to_old)
+
+
+def test_partition_futility_skip(monkeypatch):
+    """A gather-wall matrix (best RCM candidate >> the nnz floor) must not
+    pay the partitioner build — the most expensive candidate shaves ~1% there
+    (261 s on the powerlaw_1m split body); EHYB_ORDER_PART_SKIP=0 forces it."""
+    import ehyb_spmv_gpu_tpu.core.ordering as od
+    import ehyb_spmv_gpu_tpu.partition as pt
+
+    m = generate.random_general(1 << 16, 8, seed=7)
+    cfg = EhybConfig(window_rows=1024)
+    plan = make_plan(m.dimension, cfg)
+    calls = []
+    real = pt.partition_rows
+    monkeypatch.setattr(pt, "partition_rows",
+                        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    r = od.pick_ordering(m, plan, cfg, "auto")
+    assert calls == [], "partition candidates should be skipped"
+    assert np.array_equal(np.sort(r.new_to_old), np.arange(m.dimension))
+    monkeypatch.setenv("EHYB_ORDER_PART_SKIP", "0")
+    od.pick_ordering(m, plan, cfg, "auto")
+    assert calls, "EHYB_ORDER_PART_SKIP=0 must force the partition build"
