@@ -60,16 +60,27 @@ def _open(path_or_file: Union[str, IO]) -> IO:
     if hasattr(path_or_file, "read"):
         return path_or_file
     path = str(path_or_file)
+    # Binary streams: the body goes to the native scanner as raw bytes.  The
+    # text-mode formulation cost two full-size passes on a 1.3 GB audikw-
+    # class file (UTF-8 decode on read + ASCII re-encode for the scanner)
+    # before a single token was parsed.
     if path.endswith(".gz"):
-        return _io.TextIOWrapper(gzip.open(path, "rb"))
-    return open(path, "r")
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def _as_text(line) -> str:
+    """Lines from a binary stream → str (header lines are tiny ASCII)."""
+    return line.decode("ascii", errors="replace") if isinstance(line, bytes) \
+        else line
 
 
 def read_header(f: IO) -> MtxHeader:
     """Parse the ``%%MatrixMarket`` banner and the size line, skipping ``%``
     comment lines (``mm_read_banner`` ``mmio.c:96-179`` +
-    ``mm_read_mtx_crd_size`` ``mmio.c:189-233``)."""
-    line = f.readline()
+    ``mm_read_mtx_crd_size`` ``mmio.c:189-233``).  Accepts text or binary
+    streams."""
+    line = _as_text(f.readline())
     if not line or not line.startswith(BANNER):
         raise MtxError(f"missing {BANNER} banner")
     parts = line.strip().split()
@@ -91,7 +102,7 @@ def read_header(f: IO) -> MtxHeader:
 
     # Size line: first non-comment, non-blank line.
     while True:
-        line = f.readline()
+        line = _as_text(f.readline())
         if not line:
             raise MtxError("EOF before size line")
         s = line.strip()
@@ -147,8 +158,10 @@ def _parse_entries(body: str, header: MtxHeader):
     try:
         from ..native import parse_entries_native
 
-        row1, col1, val = parse_entries_native(
-            body.encode("ascii", errors="replace"), header.n_entries, has_value)
+        raw = (body if isinstance(body, bytes)
+               else body.encode("ascii", errors="replace"))
+        row1, col1, val = parse_entries_native(raw, header.n_entries,
+                                               has_value)
         return row1 - 1, col1 - 1, val
     except Exception:
         # Native unavailable OR it rejected the file (e.g. float-formatted
@@ -156,6 +169,8 @@ def _parse_entries(body: str, header: MtxHeader):
         # below is the arbiter — it raises MtxError on genuinely bad input.
         pass
 
+    if isinstance(body, bytes):
+        body = body.decode("ascii", errors="replace")
     # Strip any trailing comment lines (rare but legal).
     if "%" in body:
         body = "\n".join(ln for ln in body.splitlines()

@@ -42,6 +42,12 @@ from ehyb_spmv_gpu_tpu.core.coo import MatrixCOO, coalesce  # noqa: E402
 from ehyb_spmv_gpu_tpu.io import generate, mtx  # noqa: E402
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
 def symmetrized_fem3d(n: int) -> MatrixCOO:
     """fem3d(n) has a symmetric pattern but unsymmetric block values —
     (A + Aᵀ)/2 makes it a faithful audikw_1 stand-in (SPD-ish FEM)."""
@@ -102,32 +108,41 @@ def main() -> None:
     n_stored = int(np.count_nonzero(m.row >= m.col))
     n_tokens = 3 * n_stored
 
-    print("== read back (native scanner + symmetric expansion)", flush=True)
-    t0 = time.perf_counter()
+    # Host timing on this box is contention-noisy (identical memcpys vary
+    # 20x trial-to-trial under the VM's CPU steal), so every phase takes
+    # min-of-2 and the parser comparison runs both parsers on the SAME
+    # in-memory body — parse-vs-parse, no file/expansion phases mixed in.
+    print("== read back (end-to-end, min of 2)", flush=True)
+    dt_native = min(_timed(lambda: mtx.read_mtx(path))[0]
+                    for _ in range(2))
     m2 = mtx.read_mtx(path)
-    dt_native = time.perf_counter() - t0
     print(f"   {dt_native:.2f} s  ({n_tokens / dt_native / 1e6:.1f} Mtok/s, "
           f"{n_stored / dt_native / 1e6:.1f} Mlines/s)", flush=True)
 
-    print("== NumPy-fallback parser on a bounded slice", flush=True)
+    print("== parser A/B on the in-memory body", flush=True)
+    with open(path, "rb") as f:
+        mtx.read_header(f)
+        body = f.read()
+    from ehyb_spmv_gpu_tpu.native import parse_entries_native
+
+    dt_parse = min(_timed(lambda: parse_entries_native(
+        body, n_stored, True))[0] for _ in range(2))
     slice_lines = 2_000_000
-    with open(path) as f:
-        f.readline()
-        f.readline()
-        body = "".join(f.readline() for _ in range(slice_lines))
+    text = body.decode("ascii", errors="replace")
+    slice_body = "\n".join(text.splitlines()[:slice_lines])
     hdr = mtx.MtxHeader("matrix", "coordinate", "real", "general",
                         m.n_rows, m.n_cols, slice_lines)
     import unittest.mock as umock
-    t0 = time.perf_counter()
-    with umock.patch("ehyb_spmv_gpu_tpu.native.parse_entries_native",
-                     side_effect=RuntimeError("fallback")):
-        mtx._parse_entries(body, hdr)
-    dt_fb = time.perf_counter() - t0
-    per_line_fb = dt_fb / slice_lines
-    est_full_fb = per_line_fb * n_stored
-    print(f"   slice {slice_lines:,} lines in {dt_fb:.2f} s → full-file "
-          f"estimate {est_full_fb:.0f} s; native speedup ~"
-          f"{est_full_fb / dt_native:.0f}x", flush=True)
+
+    def fb():
+        with umock.patch("ehyb_spmv_gpu_tpu.native.parse_entries_native",
+                         side_effect=RuntimeError("fallback")):
+            mtx._parse_entries(slice_body, hdr)
+
+    dt_fb = min(_timed(fb)[0] for _ in range(2))
+    est_full_fb = dt_fb / slice_lines * n_stored
+    print(f"   native {dt_parse:.2f} s vs fallback est {est_full_fb:.0f} s "
+          f"→ native speedup ~{est_full_fb / dt_parse:.0f}x", flush=True)
 
     print("== validate round trip", flush=True)
     key = lambda mm: np.lexsort((mm.col, mm.row))  # noqa: E731
@@ -140,8 +155,9 @@ def main() -> None:
     print(f"   exact indices, max |Δval| = {verr:.2e}", flush=True)
 
     line = (f"MTX_SCALE {{\"stored_lines\": {n_stored}, "
-            f"\"tokens\": {n_tokens}, \"parse_s\": {dt_native:.3f}, "
-            f"\"mtok_per_s\": {n_tokens / dt_native / 1e6:.1f}, "
+            f"\"tokens\": {n_tokens}, \"read_mtx_s\": {dt_native:.3f}, "
+            f"\"native_parse_s\": {dt_parse:.3f}, "
+            f"\"mtok_per_s\": {n_tokens / dt_parse / 1e6:.1f}, "
             f"\"fallback_est_s\": {est_full_fb:.0f}, "
             f"\"file_gb\": {os.path.getsize(path) / 1e9:.2f}}}")
     print(line, flush=True)
