@@ -80,8 +80,16 @@ S_B = 32
 #: ~2.8 ns/step of stream+select work) — the exchange rate the group
 #: geometry search uses between padding and tile count.
 FLAT_STEP_EQ = 85
-#: Max bands per stage-B block (VMEM: bands_per_block * n_win*P * 4 B).
-MAX_BANDS_PER_BLOCK = 6
+#: Max bands per stage-B block, VMEM-gated per matrix in
+#: :func:`_choose_group_geometry` (block bytes = c * n_win*P * 4, double-
+#: buffered by the pipeline).  Bigger blocks cut the grid-quantum padding —
+#: each group pads its steps to s_b*TS, so the padding FRACTION scales as
+#: quantum / (c * median band steps): on the random_1m geometry c=6 left
+#: ~18% of the B stream as group padding where c=32 leaves ~4%.
+MAX_BANDS_PER_BLOCK = 64
+#: VMEM budget for one stage-B block (double-buffered ~2x this in flight;
+#: the idx stream + out block are small next to it).
+BLOCK_VMEM_BYTES = 4 << 20
 #: Mean slice width below which the OCTET stage-B layout engages (8 slices
 #: per sub-tile, one sublane row each): thin widths waste most of a
 #: slice-per-sub-tile stream on the ceil-to-8 floor.
@@ -215,7 +223,7 @@ def _choose_params(n_rows: int, n_cols: int, nnz: int,
 MAX_COLORS = 64
 
 
-def _choose_group_geometry(band_steps: np.ndarray):
+def _choose_group_geometry(band_steps: np.ndarray, group_rows: int = 0):
     """Search (c bands/block, S_B sub-tiles/grid-step) minimizing
     ``padding + FLAT_STEP_EQ * n_tiles`` — every group pads its steps up to
     the S_B*TS grid quantum, and every grid step costs a flat ~240 ns.
@@ -233,9 +241,16 @@ def _choose_group_geometry(band_steps: np.ndarray):
         sb_max = 96
     sb_max = min(96, max(8, sb_max))
     n_bands = band_steps.shape[0]
-    best = (MAX_BANDS_PER_BLOCK, min(S_B, sb_max))
+    # VMEM gate: one block (c bands of group_rows (…,128) f32 rows) must fit
+    # the budget; group_rows=0 (unknown) keeps the full range.
+    c_max = MAX_BANDS_PER_BLOCK
+    if group_rows > 0:
+        c_max = max(1, min(c_max,
+                           BLOCK_VMEM_BYTES // (group_rows * LANES * 4)))
+    c_max = min(c_max, max(n_bands, 1))
+    best = (c_max, min(S_B, sb_max))
     best_cost = None
-    for c in range(1, MAX_BANDS_PER_BLOCK + 1):
+    for c in range(1, c_max + 1):
         n_groups = cdiv(n_bands, c)
         pad_n = n_groups * c - n_bands
         gs = np.pad(band_steps, (0, pad_n)).reshape(n_groups, c).sum(axis=1)
@@ -534,7 +549,7 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
         segs_per_band = spb
     band_steps = wb.sum(axis=1)               # multiples of 8
     c, s_b = (group_geometry if group_geometry is not None
-              else _choose_group_geometry(band_steps))
+              else _choose_group_geometry(band_steps, gr))
     n_groups = cdiv(n_bands, c)
     grp_of_band = np.arange(n_bands) // c
     grp_steps = np.zeros(n_groups, dtype=np.int64)

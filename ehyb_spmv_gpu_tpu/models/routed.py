@@ -37,7 +37,9 @@ from .base import SpmvModel
 log = get_logger(__name__)
 
 #: Bump on any route-builder semantic change.
-ROUTE_FORMAT_VERSION = 7  # 7: identity-dst pre-permuted build (the output
+ROUTE_FORMAT_VERSION = 8  # 8: VMEM-gated stage-B block cap (bands/block
+# searched up to 64 instead of 6 — less grid-quantum padding);
+# 7: identity-dst pre-permuted build (the output
 # epilogue was an XLA element scatter costing 85% of random_1m's runtime);
 # 6: octet stage-B layout for thin widths; 5: rectangular blocks +
 # out_rows field; 4: searched (c, S_B) group geometry; 3:
