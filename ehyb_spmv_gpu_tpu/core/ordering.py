@@ -300,20 +300,28 @@ def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
     else:
         s_row, s_col, est_cfg, scale = m.row, m.col, config, 1.0
     best_name, best_r, best_cost = None, None, None
+    nat_cost = None
     # Partition-futility gate: the graph partitioner is by far the most
     # expensive candidate to BUILD (261 s on the powerlaw_1m split body,
-    # where it then won over rcm_pattern by 1.1% estimated cost).  When the
-    # best RCM-family candidate is still far above the perfect-fill floor,
-    # the matrix is gather-wall-shaped: no row grouping can close an
-    # orders-of-magnitude fill gap (the routed engine exists for that), so
-    # the partition candidates can only shave noise — skip building them.
-    # Structured matrices never hit this: RCM recovery lands near the floor
-    # (and ≤1.5x floor early-stops the loop entirely, below).
+    # where it then won over rcm_pattern by 1.1% estimated cost).  Skip the
+    # partition candidates only when BOTH hold:
+    #   * the best RCM-family candidate is still far above the perfect-fill
+    #     floor (skip_k, default 32x), AND
+    #   * RCM did not materially beat the natural ordering (< 4x) — i.e.
+    #     BFS found nothing recoverable, the true gather-wall signature.
+    # The second condition is the discriminator the floor multiple alone
+    # lacks: a large scrambled stencil (permuted_poisson_1024) sits at 82x
+    # the floor under RCM yet RCM is 46x better than natural — structure IS
+    # recoverable and partition grouping takes the measured body from 31 to
+    # ~40 GFLOP/s; a structureless matrix (random/powerlaw 1m) has
+    # RCM ≈ natural, and there the partitioner is minutes of host time for
+    # ~1% estimated gain (the routed engine owns that regime).
     skip_k = float(os.environ.get("EHYB_ORDER_PART_SKIP", "32"))
     for name, fn in candidates.items():
         if (name.startswith("partition") and "labels" not in shared
                 and best_cost is not None and skip_k > 0
-                and best_cost > skip_k * floor):
+                and best_cost > skip_k * floor
+                and (nat_cost is None or best_cost * 4.0 > nat_cost)):
             log.info("ordering %s skipped: best %.0f is %.0fx the nnz floor "
                      "— grouping cannot close a gather-wall fill gap "
                      "(EHYB_ORDER_PART_SKIP=0 forces evaluation)",
@@ -330,6 +338,8 @@ def pick_ordering(m: MatrixCOO, plan: Plan, config: EhybConfig,
                                               est_cfg.min_window_group_nnz)
                             / 8.0 * _CYC_SELL_VREG)
         log.info("ordering %s: estimated cost %.0f cyc-units", name, cost)
+        if name == "natural":
+            nat_cost = cost
         if best_cost is None or cost < best_cost:
             best_name, best_r, best_cost = name, r, cost
         if best_cost <= 1.5 * floor:

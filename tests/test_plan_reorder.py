@@ -222,3 +222,28 @@ def test_partition_futility_skip(monkeypatch):
     monkeypatch.setenv("EHYB_ORDER_PART_SKIP", "0")
     od.pick_ordering(m, plan, cfg, "auto")
     assert calls, "EHYB_ORDER_PART_SKIP=0 must force the partition build"
+
+
+def test_partition_futility_gate_spares_recoverable_structure(monkeypatch):
+    """The futility gate must NOT fire when RCM materially beat the natural
+    ordering: a large scrambled stencil can sit far above the nnz floor
+    under RCM (permuted_poisson_1024: 82x) while RCM is still ~46x better
+    than natural — structure IS recoverable and the partition candidates
+    are worth their build (measured 31 -> ~40 GFLOP/s there).  The gate's
+    gather-wall signature is BOTH far-above-floor AND rcm ~ natural."""
+    import ehyb_spmv_gpu_tpu.core.ordering as od
+    import ehyb_spmv_gpu_tpu.partition as pt
+
+    m = generate.permuted(generate.poisson2d(256), seed=5)
+    cfg = EhybConfig(window_rows=1024)
+    plan = make_plan(m.dimension, cfg)
+    calls = []
+    real = pt.partition_rows
+    monkeypatch.setattr(pt, "partition_rows",
+                        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    # tiny skip_k makes the floor condition always true — only the
+    # rcm-vs-natural discriminator can keep the partitioner in play
+    monkeypatch.setenv("EHYB_ORDER_PART_SKIP", "0.001")
+    od.pick_ordering(m, plan, cfg, "auto")
+    assert calls, ("partition candidates must be evaluated when RCM "
+                   "recovered real structure (rcm << natural)")
