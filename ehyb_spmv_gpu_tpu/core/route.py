@@ -243,7 +243,13 @@ def _choose_group_geometry(band_steps: np.ndarray, group_rows: int = 0):
     n_bands = band_steps.shape[0]
     # VMEM gate: one block (c bands of group_rows (…,128) f32 rows) must fit
     # the budget; group_rows=0 (unknown) keeps the full range.
-    c_max = MAX_BANDS_PER_BLOCK
+    # EHYB_ROUTE_BANDS_MAX caps c for hardware A/B runs (cache-keyed).
+    try:
+        c_env = int(os.environ.get("EHYB_ROUTE_BANDS_MAX", "0"))
+    except ValueError:
+        log.warning("ignoring malformed EHYB_ROUTE_BANDS_MAX")
+        c_env = 0
+    c_max = c_env if c_env > 0 else MAX_BANDS_PER_BLOCK
     if group_rows > 0:
         c_max = max(1, min(c_max,
                            BLOCK_VMEM_BYTES // (group_rows * LANES * 4)))

@@ -58,7 +58,8 @@ def _cache_path(m: MatrixCOO, cache_dir: Optional[str],
     # experiment env knobs change the built schedule — key them so an A/B
     # run never loads the other arm's artifact
     env = ""
-    for var, tag in (("EHYB_ROUTE_SB_MAX", "sb"), ("EHYB_ROUTE_OCTET", "oc")):
+    for var, tag in (("EHYB_ROUTE_SB_MAX", "sb"), ("EHYB_ROUTE_OCTET", "oc"),
+                     ("EHYB_ROUTE_BANDS_MAX", "bm")):
         v = os.environ.get(var, "")
         if v:
             env += f"-{tag}{v}"

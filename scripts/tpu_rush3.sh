@@ -1,9 +1,7 @@
 #!/bin/bash
-# Round-4 session-2 measurement chain: the VM reset wiped /tmp and the
-# artifact caches before rush1's tail (dword, pp4096 experiments) and rush2
-# (body-alone powerlaw, packed-gather probe, scaling refresh) produced
-# committed artifacts.  This script waits for the running sweep (pass its
-# PID as $1) and closes the remaining VERDICT r3 measurement items on the
+# Round-4 session-2 measurement chain (reordered for the remaining wall
+# clock: highest-evidence-value first).  Waits for the running sweep (PID
+# $1), then closes the remaining VERDICT r3 measurement items on the
 # freshly rebuilt caches.
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
@@ -24,28 +22,29 @@ step() {  # step <name> <timeout_s> <cmd...>
   local name=$1 tmo=$2; shift 2
   note "START $name"
   if timeout "$tmo" "$@" > "$LOGDIR/$name.log" 2>&1; then
-    note "OK    $name: $(grep -E 'BENCH_RESULT|GFLOP|VERDICT|cyc' "$LOGDIR/$name.log" | tail -2 | tr '\n' ' | ')"
+    note "OK    $name: $(grep -E 'BENCH_RESULT|GFLOP|VERDICT|RESULT|cyc' "$LOGDIR/$name.log" | tail -2 | tr '\n' ' | ')"
   else
     note "FAIL  $name (exit $?, see $LOGDIR/$name.log)"
   fi
 }
 
+# VPU packed-gather probe (VERDICT r3 next #6)
+step probe_gather2   3600 python scripts/probe_gather2.py
 # f64 contract cost ratio on hardware (VERDICT r3 next #8)
 step dword_pp512     2400 env EHYB_BENCH_DWORD=1 \
                           python bench.py --run ehyb permuted_poisson_512 100
-# heavy-tail body-alone comparison point for the split's "4-5x" claim
-step body_powerlaw   4800 env EHYB_BENCH_DELEGATE=never \
-                          python bench.py --run ehyb powerlaw_1m 50
-# VPU packed-gather probe (VERDICT r3 next #6)
-step probe_gather2   4800 python scripts/probe_gather2.py
-# S=64 quad working-set experiment on the window-cache body
+# S=64 quad working-set experiment on the HBM window-cache body (pp4096
+# artifact warm from the sweep)
 step pp4096_st64     3600 env EHYB_STREAM_SUBTILES=64 EHYB_NSLOT=512 \
                           python bench.py --run ehyb permuted_poisson_4096 100
 # canonical CLI flow at reference scale on the 1.3 GB .mtx (next #5 tail):
-# parse + order + convert + 2000-iter timed loop through __main__, the
-# reference's ./spmvAlg1.out -i 2000 -m audikw_1 shape (solver_test.c:284)
-step mtx_cli         7200 python scripts/mtx_scale.py --cli --iters 2000
-# virtual-mesh scaling tables refresh (VERDICT r3 next #10)
+# parse + order + convert + timed loop through __main__, the reference's
+# ./spmvAlg1.out -i 2000 -m audikw_1 shape (solver_test.c:284)
+step mtx_cli         5400 python scripts/mtx_scale.py --cli --iters 300
+# heavy-tail body-alone comparison point for the split's "4-5x" claim
+step body_powerlaw   4800 env EHYB_BENCH_DELEGATE=never \
+                          python bench.py --run ehyb powerlaw_1m 50
+# virtual-mesh scaling tables refresh (VERDICT r3 next #10; CPU-only)
 step scaling         3600 python scripts/scaling.py
 step multihost       2400 python scripts/multihost.py
 
