@@ -266,6 +266,17 @@ def _choose_group_geometry(band_steps: np.ndarray, group_rows: int = 0):
             gp = _round_up_arr(gs, q)
             tiles = int((gp // q).sum())
             cost = int(gp.sum() - gs.sum()) + FLAT_STEP_EQ * tiles
+            # Copy-burst stall: each group's first tile waits for its block
+            # copy (c*group_rows (…,128) f32 rows at ~819 GB/s) minus the
+            # one-tile compute the pipeline overlaps it with (~27.5 ns per
+            # sub-tile of chain-select work).  Measured on random_1m: the
+            # padding-optimal c=52 (3.3 MB blocks) ran 13.23 GFLOP/s vs
+            # 13.79 at c=6 — ~4%, matching this term's prediction; without
+            # it the search overbuys block size.
+            if group_rows > 0:
+                copy_ns = c * group_rows * LANES * 4 / 819.0
+                stall_ns = max(0.0, copy_ns - s_b * 27.5)
+                cost += int(n_groups * stall_ns / 2.8)
             if best_cost is None or cost < best_cost:
                 best_cost = cost
                 best = (c, s_b)

@@ -115,9 +115,14 @@ class SpmvModel(abc.ABC):
 
 
 def _resize_like(y: jax.Array, x: jax.Array) -> jax.Array:
-    """Pad/trim y to x's length (models may emit padded y)."""
-    if y.shape[0] == x.shape[0]:
+    """Pad/trim y's LAST axis to x's (models may emit padded y; the dword
+    pipeline carries (2, n) (hi, lo) stacks where n varies between the
+    padded x and the slice-padded y — resizing axis 0 there silently kept
+    the mismatch and broke the iterate chain's x + eps*y)."""
+    if y.shape == x.shape:
         return y
-    if y.shape[0] > x.shape[0]:
-        return y[: x.shape[0]]
-    return jnp.zeros_like(x).at[: y.shape[0]].set(y)
+    n, m = x.shape[-1], y.shape[-1]
+    if m > n:
+        return y[..., :n]
+    return jnp.concatenate(
+        [y, jnp.zeros(y.shape[:-1] + (n - m,), y.dtype)], axis=-1)

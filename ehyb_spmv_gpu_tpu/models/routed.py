@@ -37,7 +37,10 @@ from .base import SpmvModel
 log = get_logger(__name__)
 
 #: Bump on any route-builder semantic change.
-ROUTE_FORMAT_VERSION = 8  # 8: VMEM-gated stage-B block cap (bands/block
+ROUTE_FORMAT_VERSION = 9  # 9: copy-burst stall term in the group-geometry
+# search (hardware A/B: padding-optimal c=52 lost ~4% to c=6 on random_1m —
+# the first tile of each group stalls on the 3.3 MB block copy);
+# 8: VMEM-gated stage-B block cap (bands/block
 # searched up to 64 instead of 6 — less grid-quantum padding);
 # 7: identity-dst pre-permuted build (the output
 # epilogue was an XLA element scatter costing 85% of random_1m's runtime);

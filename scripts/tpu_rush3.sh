@@ -1,8 +1,6 @@
 #!/bin/bash
-# Round-4 session-2 measurement chain (reordered for the remaining wall
-# clock: highest-evidence-value first).  Waits for the running sweep (PID
-# $1), then closes the remaining VERDICT r3 measurement items on the
-# freshly rebuilt caches.
+# Round-4 session-2 measurement chain (final order: highest evidence value
+# per TPU-minute first).  Waits for the running sweep (PID $1).
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
@@ -30,21 +28,23 @@ step() {  # step <name> <timeout_s> <cmd...>
 
 # VPU packed-gather probe (VERDICT r3 next #6)
 step probe_gather2   3600 python scripts/probe_gather2.py
+# pp1024 with the fixed futility gate (partition ordering restored)
+step pp1024_fixed    2400 python bench.py --run ehyb permuted_poisson_1024 100
 # f64 contract cost ratio on hardware (VERDICT r3 next #8)
 step dword_pp512     2400 env EHYB_BENCH_DWORD=1 \
                           python bench.py --run ehyb permuted_poisson_512 100
-# S=64 quad working-set experiment on the HBM window-cache body (pp4096
-# artifact warm from the sweep)
+# stage-B block-cap A/B: cap c back to 6 (the v7 geometry) on random_1m
+step routed_1m_c6    3000 env EHYB_ROUTE_BANDS_MAX=6 \
+                          python bench.py --run ehyb_routed random_1m 100
+# S=64 quad working-set experiment on the HBM window-cache body
 step pp4096_st64     3600 env EHYB_STREAM_SUBTILES=64 EHYB_NSLOT=512 \
                           python bench.py --run ehyb permuted_poisson_4096 100
-# canonical CLI flow at reference scale on the 1.3 GB .mtx (next #5 tail):
-# parse + order + convert + timed loop through __main__, the reference's
-# ./spmvAlg1.out -i 2000 -m audikw_1 shape (solver_test.c:284)
+# canonical CLI flow at reference scale on the 1.3 GB .mtx (next #5 tail)
 step mtx_cli         5400 python scripts/mtx_scale.py --cli --iters 300
 # heavy-tail body-alone comparison point for the split's "4-5x" claim
 step body_powerlaw   4800 env EHYB_BENCH_DELEGATE=never \
                           python bench.py --run ehyb powerlaw_1m 50
-# virtual-mesh scaling tables refresh (VERDICT r3 next #10; CPU-only)
+# virtual-mesh scaling tables refresh (CPU-only)
 step scaling         3600 python scripts/scaling.py
 step multihost       2400 python scripts/multihost.py
 

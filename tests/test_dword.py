@@ -88,3 +88,23 @@ def test_dword_split_roundtrip():
     a = rng.standard_normal(1000) * 10.0 ** rng.uniform(-8, 8, 1000)
     hi, lo = split_f64(a)
     np.testing.assert_allclose(hi.astype(np.float64) + lo, a, rtol=1e-14)
+
+
+def test_dword_iterate_chain():
+    """The bench iterate chain (y fed back as x + eps*y) must handle the
+    dword (2, n) (hi, lo) stacks whose padded y length differs from the
+    padded x length — regression for the (2, ny) vs (2, nx) broadcast
+    failure the first hardware dword bench hit (models/base._resize_like
+    resized axis 0 only)."""
+    import jax
+
+    m = generate.permuted(generate.poisson2d(64), seed=7)
+    model = ehyb.EhybSpmv(EhybConfig(window_rows=1024, dword_values=True,
+                                     artifact_cache=False)).setup(m)
+    x = deterministic_x(m.dimension)
+    x_dev = model.prepare_x(x)
+    y = jax.block_until_ready(model.iterate(x_dev, 3))
+    # eps=0: the chained result equals a single A.x bit-for-bit
+    want = oracle_spmv(m, x)
+    got = model.recover_y(y)
+    assert rel_error(got, want) <= 1e-12
