@@ -126,19 +126,28 @@ call = pl.pallas_call(
 colj, valj, xj = jnp.asarray(cols, col_dt), jnp.asarray(vals, val_dt), \
     jnp.asarray(x)
 
-# correctness spot-check (tile 0)
+# correctness spot-check (tile 0).  NB the kernel's two-stage gather has
+# the TPU semantics g[i,l] = x[hi[i, lo[i,l]], lo[i,l]] — the sublane pick
+# at lane lo[i,l] uses THAT position's hi field.  Production layouts elect
+# indices so this equals the direct gather (the packer's consistency
+# condition); the probe streams RANDOM indices purely for timing, so the
+# reference below follows the kernel's semantics, not the direct gather.
+def two_stage_np(idx):
+    hi, lo = idx >> 7, idx & 127
+    hi_at_lo = np.take_along_axis(hi, lo, axis=1)
+    return x[hi_at_lo, lo]
+
+
 out = np.asarray(jax.jit(call)(colj, valj, xj))
 acc = np.zeros((8, 128), np.float64)
 for i in range(SUB):
     s = i * 8
     if VARIANT == "packed2":
         for (cc, vv) in ((c0, vb0), (c1, vb1)):
-            idx = cc[s:s + 8].astype(np.int64)
-            g = x[idx >> 7, idx & 127]
+            g = two_stage_np(cc[s:s + 8].astype(np.int64))
             acc += (vv[s:s + 8] << 16).view(np.float32) * g
     else:
-        idx = cols32[s:s + 8].astype(np.int64)
-        g = x[idx >> 7, idx & 127]
+        g = two_stage_np(cols32[s:s + 8].astype(np.int64))
         vv = (v[s:s + 8].astype(jnp.bfloat16).astype(np.float32)
               if VARIANT == "bf16val" else v[s:s + 8])
         acc += vv * g
