@@ -404,8 +404,11 @@ class EhybSpmv(EhybXlaSpmv):
         if os.environ.get("EHYB_FORCE_PALLAS", "").lower() in (
                 "0", "false", "off", "no"):
             return False                     # routed has no XLA apply
-        if m.dimension < (1 << 16) or m.nnz < (1 << 18):
-            return False  # small matrices run VMEM-resident either way
+        if m.dimension < self._SMALL_GATE_DIM and (
+                m.dimension < (1 << 13) or m.nnz < (1 << 18)):
+            return False  # tiny matrices: any engine is microseconds
+        if m.nnz < (1 << 18):
+            return False
         return True
 
     def _gate_decision_path(self, m: MatrixCOO) -> Optional[str]:
@@ -449,6 +452,117 @@ class EhybSpmv(EhybXlaSpmv):
             json.dump({"delegate": delegate}, f)
         os.replace(tmp, path)  # atomic vs concurrent sweep children
 
+    #: Below this dimension x is VMEM-resident for every engine, so the
+    #: structural bytes argument that justifies immediate delegation on big
+    #: matrices does not apply — the body reads x from VMEM either way and
+    #: neither engine dominates (sweep r4: random_16k routed 48.0 vs body
+    #: 35.8 GFLOP/s, powerlaw_16k body 22.2 vs split 15.0).  The gate there
+    #: decides by a measured A/B at setup time instead (both builds are
+    #: seconds at this scale), cached by matrix fingerprint.
+    _SMALL_GATE_DIM = 1 << 16
+    #: Estimated body cost (ordering cost model, core/ordering.py) over the
+    #: perfect-fill floor above which a small matrix counts as scattered and
+    #: the A/B runs.  Structured matrices sit ≤1.5x (pick_ordering's early
+    #: stop); scattered ones sit ≳4x (padding + the ~14 cyc/vreg two-stage
+    #: gather are both in the estimate's rate constants).
+    _SMALL_EST_K = 3.0
+
+    def _measured_gflops(self, model, m: MatrixCOO) -> float:
+        """Short timed run under the production protocol (device-side
+        iterate loop, utils/timing.py), escalated past the noise floor."""
+        from ..core.coo import deterministic_x
+        from ..utils.timing import measure_loop
+
+        x_dev = model.prepare_x(deterministic_x(m.dimension))
+        it = 512
+        while True:
+            per = measure_loop(lambda n: model.iterate(x_dev, n), it,
+                               warmup=1)
+            if per * it >= 0.05 or it >= (1 << 16):
+                return 2.0 * m.nnz / max(per, 1e-12) / 1e9
+            it *= 4
+
+    def _maybe_delegate_small(self, m: MatrixCOO):
+        """VMEM-resident-scale gate: measured A/B instead of the structural
+        fill signal.
+
+        The big-matrix gate's (slice, window) fill measures how much x-reuse
+        a window cache gets — meaningless when the whole x sits in VMEM (the
+        fill on random_16k is ~190, far above the gate, yet the routed
+        engine measures 48.0 vs the body's 35.8 GFLOP/s because the body is
+        VPU-gather-bound, not window-bound).  Here the discriminator is the
+        ordering cost model's estimate vs the perfect-fill floor: structured
+        matrices skip out cheaply, scattered ones pay a one-time two-build
+        A/B whose verdict is cached by matrix fingerprint.
+        """
+        cfg = self.config
+        if self._load_gate_decision(m) is not None:
+            # "routed"/"split" delegate in _pre_order_hook; False = a
+            # measured body win — keep the body without re-measuring
+            return None
+        from ..core.ordering import (_CYC_DIA_VREG, _CYC_SELL_VREG,
+                                     estimate_cost, estimate_mw_steps)
+
+        o2n = self.reordering.old_to_new
+        r_new = o2n[m.row.astype(np.int64)]
+        c_new = o2n[m.col.astype(np.int64)]
+        if cfg.features.dia:
+            est = estimate_cost(r_new, c_new, m.dimension, cfg)
+            floor = m.nnz / 1024.0 * _CYC_DIA_VREG
+        else:
+            est = (estimate_mw_steps(r_new, c_new, m.dimension,
+                                     cfg.slice_rows,
+                                     cfg.min_window_group_nnz,
+                                     sliding=bool(cfg.sliding_windows))
+                   / 8.0 * _CYC_SELL_VREG)
+            floor = m.nnz / 1024.0 * _CYC_SELL_VREG
+        if est <= self._SMALL_EST_K * floor:
+            return None  # structured — the body is the right engine
+        if self._pallas_mode() != "1":
+            return None  # the A/B is a hardware measurement
+        from ..core.route import _choose_params
+        from .hybrid import (DegreeSplitSpmv, MIN_DENSE_FRAC,
+                             degree_split_stats)
+        from .routed import RoutedSpmv
+
+        try:
+            _choose_params(m.dimension, min(m.dimension, 1 << 20),
+                           m.nnz // max(cdiv(m.dimension, 1 << 20), 1),
+                           None, None)
+            _, dense_frac = degree_split_stats(m)
+            if dense_frac >= MIN_DENSE_FRAC:
+                cand, kind = DegreeSplitSpmv(cfg).setup(m), "split"
+            else:
+                cand, kind = RoutedSpmv(cfg).setup(m), "routed"
+                nnz_spill = sum(b.stats.get("nnz_spill", 0)
+                                for b in cand.blocks)
+                spill_max = float(
+                    os.environ.get("EHYB_ROUTE_SPILL_MAX", "0.10"))
+                if nnz_spill > spill_max * max(m.nnz, 1):
+                    self._save_gate_decision(m, False)
+                    return None
+        except ValueError as exc:
+            log.info("small gate: candidate infeasible (%s); body", exc)
+            self._save_gate_decision(m, False)
+            return None
+        body = EhybSpmv(dataclasses.replace(
+            cfg, routed_delegate="never")).setup(m)
+        try:
+            g_cand = self._measured_gflops(cand, m)
+            g_body = self._measured_gflops(body, m)
+        except Exception as exc:  # measurement must never wedge setup
+            log.warning("small-gate A/B measurement failed (%s); body", exc)
+            return body
+        log.info("small-gate A/B (est %.1fx floor): %s %.2f vs body %.2f "
+                 "GFLOP/s", est / floor, kind, g_cand, g_body)
+        # 5% hysteresis: ties keep the body (the simpler engine, and the one
+        # every downstream mode — dword, sharding, solver — supports)
+        if g_cand > 1.05 * g_body:
+            self._save_gate_decision(m, kind)
+            return cand
+        self._save_gate_decision(m, False)
+        return body  # already built + artifact-cached; reuse it
+
     def _maybe_delegate_routed(self, m: MatrixCOO):
         """Return a routed model when the post-reorder structure shows the
         gather-wall regime, else None (keep the EHYB body).
@@ -461,6 +575,8 @@ class EhybSpmv(EhybXlaSpmv):
         cfg = self.config
         if not self._gate_preconditions(m):
             return None
+        if m.dimension < self._SMALL_GATE_DIM:
+            return self._maybe_delegate_small(m)
         # The structural signal, mode-independent: mean fill of the
         # post-reorder (128-row slice, 1024-col window) groups — what a
         # window-gather sub-tile can hope to serve.  Sampled; the XLA
@@ -656,7 +772,8 @@ class EhybSpmv(EhybXlaSpmv):
                              self.ehyb,
                              np.dtype(self.config.dtype).itemsize))
             if streaming:
-                col_p, val_p = pad_stream_arrays(self.ehyb)
+                col_p, val_p = pad_stream_arrays(
+                    self.ehyb, np.dtype(self.config.dtype).itemsize)
                 self.dev = dataclasses.replace(
                     self.dev, ell_col=jax.numpy.asarray(col_p),
                     ell_val=jax.numpy.asarray(val_p, dtype=self.config.dtype))

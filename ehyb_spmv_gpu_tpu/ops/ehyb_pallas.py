@@ -241,9 +241,57 @@ _sell_body_kernel_stream_rx4_kahan = _make_stream_resident_kernel(4, True)
 NSLOT = min(512, int(__import__("os").environ.get("EHYB_NSLOT", "320")))
 _SLOT_BITS = 9  # slot ids in the packed per-sub-tile word (caps NSLOT at 512)
 
+#: Per-path geometry for the HBM window-cache body: bigger tiles (64
+#: sub-tiles = 512 steps/grid step) with a full 512-slot cache measured 30.9
+#: vs 20.1 GFLOP/s on permuted_poisson_4096 (r4 hardware A/B) — the flat
+#: per-grid-step cost amortizes over 2x the streamed bytes and the deeper
+#: cache absorbs the larger working set.  The RESIDENT streamed kernels keep
+#: STREAM_SUBTILES/NSLOT (tuned separately; x gathers need no cache there).
+#: Falls back to the resident geometry when the big plan is infeasible
+#: (quad working sets can exceed the big-meta 128-loads/tile row budget on
+#: scattered matrices — see _plan_hbm_stream).
+HBM_STREAM_SUBTILES = min(128, int(__import__("os").environ.get(
+    "EHYB_HBM_SUBTILES", "64")))
+HBM_NSLOT = min(512, int(__import__("os").environ.get(
+    "EHYB_HBM_NSLOT", "512")))
+
+
+def _plan_hbm_stream(e):
+    """Schedule the HBM window-cache body, trying the big geometry first.
+
+    Returns a dict with the chosen ``S``/``nslot``, the stream maps, the
+    cache plan, and ``smem_bytes`` (the small-variant scalar-prefetch cost —
+    the caller picks small vs big meta by it).  Raises ValueError when no
+    candidate geometry schedules (``stream_body_fits`` mirrors this, so the
+    gate and the apply can never disagree).
+    """
+    last = None
+    for S, nslot in dict.fromkeys([(HBM_STREAM_SUBTILES, HBM_NSLOT),
+                                   (STREAM_SUBTILES, NSLOT)]):
+        try:
+            (sub_wins, sub_slice, reset, last_sub,
+             n_tiles) = build_stream_maps(e, S)
+            plan = build_hbm_cache_plan(sub_wins, reset, n_tiles,
+                                        S=S, nslot=nslot)
+            packed, off, cnt, src, dst, kmax0, kmax, n_loads = plan
+            smem_bytes = sum(p.nbytes for p in packed) + off.nbytes \
+                + cnt.nbytes + src.nbytes + dst.nbytes
+            if smem_bytes > _SMEM_PREFETCH_BUDGET and (
+                    S > 128 or kmax0 > 128 or kmax > 128):
+                # big-meta variant: S slot words and each tile's load list
+                # must fit one 128-lane meta row (build_hbm_big_meta)
+                raise RuntimeError(
+                    f"big-meta row budget: S={S} kmax0={kmax0} kmax={kmax}")
+            return dict(S=S, nslot=nslot, sub_wins=sub_wins,
+                        sub_slice=sub_slice, reset=reset, last_sub=last_sub,
+                        n_tiles=n_tiles, plan=plan, smem_bytes=smem_bytes)
+        except (ValueError, RuntimeError) as exc:
+            last = exc
+    raise ValueError(f"hbm stream geometry infeasible: {last}")
+
 
 def _make_stream_hbm_kernel(kahan: bool, kmax0: int, kmax: int,
-                            nwin: int = 2):
+                            nwin: int = 2, S: int = None):
     """Kernel factory for the HBM-streamed body: x stays in HBM (``pl.ANY``)
     and each sub-tile's two 1024-element windows are served from a
     software-managed VMEM cache (``cache_ref``) fed by async DMA.
@@ -264,6 +312,7 @@ def _make_stream_hbm_kernel(kahan: bool, kmax0: int, kmax: int,
     ``nwin = 4`` (quad sub-tiles) a second packed word carries
     ``slot_c | slot_d << 9``.
     """
+    S = S or STREAM_SUBTILES
 
     def kernel(*refs):
         if nwin > 2:
@@ -315,14 +364,14 @@ def _make_stream_hbm_kernel(kahan: bool, kmax0: int, kmax: int,
                              sems.at[(t + 1) % 2, j]).start()
 
         smask = (1 << _SLOT_BITS) - 1
-        for i in range(STREAM_SUBTILES):
-            v = packed_ref[t * STREAM_SUBTILES + i]
+        for i in range(S):
+            v = packed_ref[t * S + i]
             wins = [cache_ref[jax.lax.bitwise_and(v, smask)],
                     cache_ref[jax.lax.bitwise_and(
                         jax.lax.shift_right_logical(v, _SLOT_BITS), smask)]]
             rs = jax.lax.shift_right_logical(v, 2 * _SLOT_BITS)
             if nwin > 2:
-                v2 = packed2_ref[t * STREAM_SUBTILES + i]
+                v2 = packed2_ref[t * S + i]
                 wins.append(cache_ref[jax.lax.bitwise_and(v2, smask)])
                 wins.append(cache_ref[jax.lax.bitwise_and(
                     jax.lax.shift_right_logical(v2, _SLOT_BITS), smask)])
@@ -358,7 +407,8 @@ def _make_stream_hbm_kernel(kahan: bool, kmax0: int, kmax: int,
     return kernel
 
 
-def build_hbm_cache_plan(sub_wins, reset, n_tiles: int):
+def build_hbm_cache_plan(sub_wins, reset, n_tiles: int, S: int = None,
+                         nslot: int = None):
     """Host-side schedule for the HBM-streamed body's x-window cache.
 
     Simulates an ``NSLOT``-slot LRU cache over the per-grid-step window sets
@@ -380,15 +430,16 @@ def build_hbm_cache_plan(sub_wins, reset, n_tiles: int):
     """
     from collections import OrderedDict
 
-    S = STREAM_SUBTILES
+    S = S or STREAM_SUBTILES
+    nslot = nslot or NSLOT
     nwin = len(sub_wins)
     ws = [np.asarray(a, dtype=np.int64) for a in sub_wins]
     if nwin == 1:
         ws = ws * 2  # slot_b mirrors slot_a for chunk-sync layouts
-    if 2 * nwin * S > NSLOT:
-        raise RuntimeError("NSLOT cannot cover two working sets")
+    if 2 * nwin * S > nslot:
+        raise RuntimeError("nslot cannot cover two working sets")
     cache: "OrderedDict[int, int]" = OrderedDict()  # win -> slot, LRU first
-    free = list(range(NSLOT - 1, -1, -1))
+    free = list(range(nslot - 1, -1, -1))
     loads = [[] for _ in range(n_tiles)]
     slots = [np.zeros(n_tiles * S, dtype=np.int32) for _ in ws]
     prev_need: set = set()
@@ -436,7 +487,7 @@ def build_hbm_cache_plan(sub_wins, reset, n_tiles: int):
 
 
 def _make_stream_hbm_big_kernel(kahan: bool, kmax0: int, kmax: int,
-                                nwin: int):
+                                nwin: int, S: int = None):
     """HBM-streamed body WITHOUT scalar-prefetch maps: all per-tile metadata
     rides in a VMEM-streamed (8, 128) int32 block (``meta_ref``), so the
     ~1 MB SMEM ceiling no longer caps the matrix size (permuted_poisson_4096
@@ -454,6 +505,7 @@ def _make_stream_hbm_big_kernel(kahan: bool, kmax0: int, kmax: int,
     DMA'd into a double-buffered SMEM scratch one step ahead (cheap scalar
     reads — see _make_stream_resident_big_kernel).
     """
+    S = S or STREAM_SUBTILES
 
     def kernel(meta_hbm_ref, col_ref, val_ref, x_hbm_ref, y_ref,
                cache_ref, acc_ref, sems, sem0, meta_ref, msems, msem0):
@@ -517,7 +569,7 @@ def _make_stream_hbm_big_kernel(kahan: bool, kmax0: int, kmax: int,
                              sems.at[(t + 1) % 2, j]).start()
 
         smask = (1 << _SLOT_BITS) - 1
-        for i in range(STREAM_SUBTILES):
+        for i in range(S):
             v = meta_ref[b, 0, i]
             wins = [cache_ref[jax.lax.bitwise_and(v, smask)],
                     cache_ref[jax.lax.bitwise_and(
@@ -654,17 +706,20 @@ def build_resident_big_meta(sub_wins, reset, n_tiles: int):
     return meta
 
 
-def build_hbm_big_meta(sub_wins, reset, n_tiles: int):
+def build_hbm_big_meta(sub_wins, reset, n_tiles: int, S: int = None,
+                       nslot: int = None):
     """Pack the HBM window-cache plan into per-tile (8, 128) int32 VMEM meta
     blocks (see :func:`_make_stream_hbm_big_kernel` for the layout).
 
-    Requires at most 128 loads per tile and STREAM_SUBTILES <= 128 — both
-    hold by construction (a tile's working set is <= 4*STREAM_SUBTILES = 128
-    windows).  Returns (meta (n_tiles, 8, 128) int32, kmax0, kmax, n_loads).
+    Requires at most 128 loads per tile and ``S`` <= 128 — guaranteed by
+    ``_plan_hbm_stream``'s geometry selection (a quad tile's working set is
+    up to ``4*S`` windows, which exceeds the 128-lane meta row at S=64 on
+    scattered matrices — those fall back to the resident geometry).
+    Returns (meta (n_tiles, 8, 128) int32, kmax0, kmax, n_loads).
     """
     packed, off, cnt, src, dst, kmax0, kmax, n_loads = build_hbm_cache_plan(
-        sub_wins, reset, n_tiles)
-    S = STREAM_SUBTILES
+        sub_wins, reset, n_tiles, S=S, nslot=nslot)
+    S = S or STREAM_SUBTILES
     assert S <= 128 and kmax0 <= 128 and kmax <= 128
     meta = np.zeros((n_tiles, 8, 128), dtype=np.int32)
     meta[:, 0, :S] = packed[0].reshape(n_tiles, S)
@@ -683,7 +738,7 @@ def build_hbm_big_meta(sub_wins, reset, n_tiles: int):
     return meta, kmax0, kmax, n_loads
 
 
-def build_stream_maps(e: EhybMatrix):
+def build_stream_maps(e: EhybMatrix, spt: int = None):
     """Host metadata for the streamed body: per-sub-tile window rows and the
     sub-tile → slice segment ids (padding sub-tiles map to the dump slice
     ``n_slices``).  Steps are padded to a whole number of stream tiles.
@@ -699,7 +754,7 @@ def build_stream_maps(e: EhybMatrix):
     if not np.all(widths % TILE_STEPS == 0):
         raise ValueError("slice widths must be multiples of 8")
     n_sub = e.step_win.shape[0] // TILE_STEPS
-    spt = STREAM_SUBTILES
+    spt = spt or STREAM_SUBTILES
     n_tiles = max(1, -(-n_sub // spt))
     sub_wins = []
     win_arrays = [e.step_win, e.step_win_b, e.step_win_c, e.step_win_d]
@@ -751,9 +806,19 @@ def build_tile_maps(e: EhybMatrix, steps_per_tile: int):
     return tile_slice, first_pos, subtile_win_row
 
 
-def pad_stream_arrays(e: EhybMatrix):
-    """Zero-pad ell_col/ell_val to whole stream tiles (streamed body input)."""
+def pad_stream_arrays(e: EhybMatrix, value_bytes: int = 4):
+    """Zero-pad ell_col/ell_val to whole stream tiles (streamed body input).
+
+    Non-resident matrices pad to the LARGEST candidate HBM tile so the
+    padded arrays serve whichever geometry ``_plan_hbm_stream`` lands on
+    (a grid of smaller tiles simply never indexes the extra tail rows).
+    """
     spt = STREAM_SUBTILES * TILE_STEPS
+    if e.padded_x_rows * value_bytes > X_RESIDENT_BYTES:
+        # lcm: a multiple of BOTH tile sizes covers either grid exactly
+        import math
+
+        spt = math.lcm(STREAM_SUBTILES, HBM_STREAM_SUBTILES) * TILE_STEPS
     total = e.ell_col.shape[0]
     pad_to = max(1, -(-max(total, 1) // spt)) * spt
     if total == pad_to:
@@ -792,10 +857,10 @@ def stream_body_fits(e: EhybMatrix, value_bytes: int = 4) -> bool:
             return False
         return True
     try:
-        sub_wins, _, reset, _, n_tiles = build_stream_maps(e)
-        # the cache simulation must be feasible (no thrash); the big variant
-        # removes the SMEM ceiling, so budget no longer gates
-        build_hbm_cache_plan(sub_wins, reset, n_tiles)
+        # the geometry selection runs the actual cache simulation (and the
+        # big-meta row-budget checks); the big variant removes the SMEM
+        # ceiling, so budget no longer gates
+        _plan_hbm_stream(e)
     except (ValueError, RuntimeError):
         return False
     return True
@@ -968,15 +1033,16 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
         # regime where the reference kernel streams from global memory at
         # full speed (kernel.cu:110-195); closes the 64 MB cliff (VERDICT r2
         # missing #1).  Serves both the relaxed (rx) and chunk-sync layouts.
-        (sub_wins, sub_slice, reset, last_sub,
-         n_tiles) = build_stream_maps(e)
+        geom = _plan_hbm_stream(e)
+        S_hbm, nslot = geom["S"], geom["nslot"]
+        sub_wins, reset, last_sub = (geom["sub_wins"], geom["reset"],
+                                     geom["last_sub"])
+        n_tiles, smem_bytes = geom["n_tiles"], geom["smem_bytes"]
         nwin = len(sub_wins)
         (packed, load_off, load_cnt, load_src, load_dst, kmax0, kmax,
-         n_loads) = build_hbm_cache_plan(sub_wins, reset, n_tiles)
-        smem_bytes = sum(p.nbytes for p in packed) + load_off.nbytes \
-            + load_cnt.nbytes + load_src.nbytes + load_dst.nbytes
+         n_loads) = geom["plan"]
         if smem_bytes <= _SMEM_PREFETCH_BUDGET:
-            spt = STREAM_SUBTILES * TILE_STEPS
+            spt = S_hbm * TILE_STEPS
             kahan = bool(getattr(config, "compensated_sum", False))
             aux = tuple(jnp.asarray(p) for p in packed) \
                 + (jnp.asarray(load_off), jnp.asarray(load_cnt),
@@ -992,11 +1058,11 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                                  memory_space=pltpu.VMEM),   # val
                     pl.BlockSpec(memory_space=pl.ANY),       # x in HBM
                 ],
-                out_specs=pl.BlockSpec((1, STREAM_SUBTILES, LANES),
+                out_specs=pl.BlockSpec((1, S_hbm, LANES),
                                        lambda t, *_: (t, 0, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
-                    pltpu.VMEM((NSLOT, WIN_ROWS, LANES), vdt),   # win cache
+                    pltpu.VMEM((nslot, WIN_ROWS, LANES), vdt),   # win cache
                     pltpu.VMEM((2 if kahan else 1, LANES), vdt),  # acc
                     pltpu.SemaphoreType.DMA((2, max(kmax, 1))),
                     pltpu.SemaphoreType.DMA,
@@ -1011,10 +1077,10 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                     + n_loads * WIN_ROWS * LANES * vbytes),
                 transcendentals=0)
             stream_call = pl.pallas_call(
-                _make_stream_hbm_kernel(kahan, kmax0, kmax, nwin),
+                _make_stream_hbm_kernel(kahan, kmax0, kmax, nwin, S=S_hbm),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct(
-                    (n_tiles, STREAM_SUBTILES, LANES), vdt),
+                    (n_tiles, S_hbm, LANES), vdt),
                 cost_estimate=cost, interpret=interpret,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=_VMEM_LIMIT))
@@ -1029,16 +1095,17 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                                     ehyb_long_xla(dev, x_pad),
                                     dia_phase(dev, x_pad))
 
-            log.info("pallas SELL body [streamed hbm%s]: %d tiles, %d window "
-                     "loads (%.1f MB re-fetch), kmax=%d/%d",
-                     f" rx{nwin}" if nwin > 1 else "", n_tiles, n_loads,
-                     n_loads * WIN_ROWS * LANES * vbytes / 1e6, kmax0, kmax)
+            log.info("pallas SELL body [streamed hbm%s S=%d/%d]: %d tiles, "
+                     "%d window loads (%.1f MB re-fetch), kmax=%d/%d",
+                     f" rx{nwin}" if nwin > 1 else "", S_hbm, nslot, n_tiles,
+                     n_loads, n_loads * WIN_ROWS * LANES * vbytes / 1e6,
+                     kmax0, kmax)
             return apply_stream_hbm
         # SMEM budget exceeded: big variant — plan packed into VMEM-streamed
         # meta blocks (permuted_poisson_4096-class; no SMEM ceiling).
         (meta_np, kmax0, kmax, n_loads) = build_hbm_big_meta(
-            sub_wins, reset, n_tiles)
-        spt = STREAM_SUBTILES * TILE_STEPS
+            sub_wins, reset, n_tiles, S=S_hbm, nslot=nslot)
+        spt = S_hbm * TILE_STEPS
         kahan = bool(getattr(config, "compensated_sum", False))
         meta = jnp.asarray(meta_np)
         last_sub_dev = jnp.asarray(last_sub)
@@ -1053,11 +1120,11 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                              memory_space=pltpu.VMEM),   # val
                 pl.BlockSpec(memory_space=pl.ANY),       # x in HBM
             ],
-            out_specs=pl.BlockSpec((1, STREAM_SUBTILES, LANES),
+            out_specs=pl.BlockSpec((1, S_hbm, LANES),
                                    lambda t: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((NSLOT, WIN_ROWS, LANES), vdt),    # win cache
+                pltpu.VMEM((nslot, WIN_ROWS, LANES), vdt),    # win cache
                 pltpu.VMEM((2 if kahan else 1, LANES), vdt),  # acc
                 pltpu.SemaphoreType.DMA((2, max(kmax, 1))),
                 pltpu.SemaphoreType.DMA,
@@ -1074,10 +1141,10 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                 + meta.nbytes + n_loads * WIN_ROWS * LANES * vbytes),
             transcendentals=0)
         stream_call = pl.pallas_call(
-            _make_stream_hbm_big_kernel(kahan, kmax0, kmax, nwin),
+            _make_stream_hbm_big_kernel(kahan, kmax0, kmax, nwin, S=S_hbm),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (n_tiles, STREAM_SUBTILES, LANES), vdt),
+                (n_tiles, S_hbm, LANES), vdt),
             cost_estimate=cost, interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT))
@@ -1092,12 +1159,12 @@ def make_ehyb_pallas_apply(e: EhybMatrix, config: EhybConfig,
                                 ehyb_long_xla(dev, x_pad),
                                 dia_phase(dev, x_pad))
 
-        log.info("pallas SELL body [streamed hbm-big%s]: %d tiles, %d window "
-                 "loads (%.1f MB re-fetch), VMEM meta %.1f MB/iter, "
+        log.info("pallas SELL body [streamed hbm-big%s S=%d/%d]: %d tiles, "
+                 "%d window loads (%.1f MB re-fetch), VMEM meta %.1f MB/iter, "
                  "kmax=%d/%d",
-                 f" rx{nwin}" if nwin > 1 else "", n_tiles, n_loads,
-                 n_loads * WIN_ROWS * LANES * vbytes / 1e6, meta.nbytes / 1e6,
-                 kmax0, kmax)
+                 f" rx{nwin}" if nwin > 1 else "", S_hbm, nslot, n_tiles,
+                 n_loads, n_loads * WIN_ROWS * LANES * vbytes / 1e6,
+                 meta.nbytes / 1e6, kmax0, kmax)
         return apply_stream_hbm_big
 
     if e.step_win_b.size:

@@ -632,3 +632,85 @@ class TestDegreeSplitHybrid:
         model = DegreeSplitSpmv(EhybConfig(artifact_cache=False)).setup(m)
         spill = sum(b.stats.get("nnz_spill", 0) for b in model.r.blocks)
         assert spill < 0.01 * m.nnz, (spill, m.nnz)
+
+
+class TestSmallGate:
+    """VMEM-resident-scale delegation gate: measured A/B instead of the
+    structural fill signal (sweep r4: random_16k routed 48.0 vs body 35.8
+    GFLOP/s — the old hard size floor left that on the table)."""
+
+    def _small_random(self):
+        return _random_coo(1 << 14, 26, seed=7)   # nnz ~ 4.2e5 >= 1<<18
+
+    def _patched(self, cfg, fake_gflops):
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
+
+        model = EhybSpmv(cfg)
+        # instance-only patches: the nested body build inside the A/B is a
+        # fresh EhybSpmv and must keep the real (CPU/XLA) mode
+        model._pallas_mode = lambda: "1"
+        model._measured_gflops = fake_gflops
+        return model
+
+    def test_scattered_small_runs_ab_and_picks_winner(self, tmp_path):
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = self._small_random()
+        cfg = EhybConfig(artifact_cache=True, cache_dir=str(tmp_path))
+        fake = lambda mdl, mm: 48.0 if isinstance(mdl, RoutedSpmv) else 35.8
+        out = self._patched(cfg, fake).setup(m)
+        assert isinstance(out, RoutedSpmv), type(out)
+        # verdict cached: the warm run delegates from the pre-order hook
+        # without re-measuring
+        def boom(*a, **k):
+            raise AssertionError("A/B re-measured on warm run")
+
+        warm = self._patched(cfg, boom).setup(m)
+        assert isinstance(warm, RoutedSpmv), type(warm)
+        x = deterministic_x(m.dimension)
+        y_ref = oracle_spmv(m, x)
+        rel = np.linalg.norm(out.matvec(x) - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, rel
+
+    def test_body_win_returns_built_body(self, tmp_path):
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv, EhybXlaSpmv
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = self._small_random()
+        cfg = EhybConfig(artifact_cache=True, cache_dir=str(tmp_path))
+        fake = lambda mdl, mm: 10.0 if isinstance(mdl, RoutedSpmv) else 22.2
+        out = self._patched(cfg, fake).setup(m)
+        assert isinstance(out, EhybXlaSpmv), type(out)
+        assert not isinstance(out, RoutedSpmv)
+
+        def boom(*a, **k):
+            raise AssertionError("A/B re-measured on warm run")
+
+        warm = self._patched(cfg, boom).setup(m)
+        assert not isinstance(warm, RoutedSpmv), type(warm)
+        x = deterministic_x(m.dimension)
+        y_ref = oracle_spmv(m, x)
+        rel = np.linalg.norm(out.matvec(x) - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, rel
+
+    def test_structured_small_skips_measurement(self):
+        # est <= K*floor: the body is kept without ever building/measuring
+        from ehyb_spmv_gpu_tpu.io import generate
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = generate.stencil3d(24, points=27)   # dim 13824, nnz 343k
+        def boom(*a, **k):
+            raise AssertionError("structured matrix measured")
+
+        out = self._patched(EhybConfig(artifact_cache=False), boom).setup(m)
+        assert not isinstance(out, RoutedSpmv), type(out)
+
+    def test_cpu_backend_keeps_body(self):
+        # without hardware the A/B cannot run; small matrices keep the body
+        from ehyb_spmv_gpu_tpu.models.ehyb import EhybSpmv
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = self._small_random()
+        out = EhybSpmv(EhybConfig(artifact_cache=False)).setup(m)
+        assert not isinstance(out, RoutedSpmv), type(out)
