@@ -39,8 +39,12 @@ jax.config.update("jax_compilation_cache_dir",
                   "/root/.cache/ehyb_jax_cache")
 VARIANT = "{variant}"
 W = 8            # window sublanes: x window = (8,128) = 1024 rows
-SUB = 8          # sub-tiles of 8 steps per grid step
-NTILES = 2048
+# geometry env-tunable: the default (SUB=8, 24 KB tiles) inflates absolute
+# cyc/vreg with flat per-grid-step cost; PROBE_SUB=32 matches the production
+# streamed body's 192 KB tiles (STREAM_SUBTILES) for production-relevant
+# absolute numbers.  Relative ordering across variants held at both sizes.
+SUB = int(__import__("os").environ.get("PROBE_SUB", "8"))
+NTILES = int(__import__("os").environ.get("PROBE_NTILES", "2048"))
 spt = SUB * 8
 
 rng = np.random.default_rng(0)
