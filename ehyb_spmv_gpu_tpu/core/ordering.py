@@ -51,11 +51,24 @@ def rcm_order(m: MatrixCOO, adj=None) -> np.ndarray:
 
     ``adj``: optional precomputed ``adjacency_csr(m)`` (shared with the
     partitioner by the auto-selector — it is the order phase's largest
-    single cost at audikw scale)."""
+    single cost at audikw scale).
+
+    The traversal runs native by default (``native/rcm.cpp``, bit-identical
+    output — equivalence pinned by tests): the per-level NumPy formulation
+    below cost ~190 s on permuted_poisson_4096 (16.7M vertices, thousands of
+    shallow levels, a full unique() sort each); ``EHYB_NATIVE_RCM=0`` or a
+    missing toolchain falls back to it."""
     from ..partition import adjacency_csr
 
     xadj, adjncy = adj if adj is not None else adjacency_csr(m)
     dim = m.dimension
+    if os.environ.get("EHYB_NATIVE_RCM", "1") != "0":
+        try:
+            from ..native import rcm_native
+
+            return rcm_native(xadj, adjncy)
+        except Exception as exc:              # pragma: no cover - no g++
+            log.warning("native rcm unavailable (%s); NumPy fallback", exc)
     deg = np.diff(xadj)
     visited = np.zeros(dim, dtype=bool)
     order = np.empty(dim, dtype=np.int64)

@@ -116,17 +116,25 @@ class EhybXlaSpmv(SpmvModel):
         a side dict consumed by ops.dword."""
         if not getattr(cfg, "dword_values", False):
             return self.ehyb.to_jax(dtype=cfg.dtype)
-        from ..ops.dword import split_f64
+        from ..ops.dword import pack_long_dword, split_f64
 
         e = self.ehyb
-        if e.long_rows.size:
-            raise ValueError("dword_values does not support long rows")
         dev = e.to_jax(dtype="float32")
         self._dword_lo = {
             "ell": jnp.asarray(split_f64(np.asarray(e.ell_val))[1]),
             "er": jnp.asarray(split_f64(np.asarray(e.er_val))[1]),
             "dia": jnp.asarray(split_f64(np.asarray(e.dia_val))[1]),
         }
+        if e.long_rows.size:
+            # pathological rows ride the lane-chain compensated reduction
+            # (ops/dword.pack_long_dword — the f64 long-row contract,
+            # kernel.cu:43-67 at spmv.h:46 precision)
+            col2, vh2, vl2, seg2 = pack_long_dword(
+                e.long_col, np.asarray(e.long_val, dtype=np.float64),
+                e.long_seg, e.long_rows.shape[0])
+            self._dword_lo["long"] = (
+                jnp.asarray(col2), jnp.asarray(vh2), jnp.asarray(vl2),
+                jnp.asarray(seg2), jnp.asarray(e.long_rows.astype(np.int32)))
         return dev
 
     def _post_order_hook(self, m: MatrixCOO) -> None:
@@ -146,10 +154,11 @@ class EhybXlaSpmv(SpmvModel):
         cfg = self.config
         if getattr(cfg, "dword_values", False):
             # Double-word precision mode (ops/dword.py): convert with f64
-            # host values (split into f32 pairs at upload); long rows and
-            # hub splitting are unsupported in the ordered reductions.
+            # host values (split into f32 pairs at upload).  Long rows run
+            # the lane-chain compensated reduction (pack_long_dword); hub
+            # splitting stays off (its combine re-sums through plain f32).
             self.config = cfg = dataclasses.replace(
-                cfg, dtype="float64", long_row_threshold=1 << 30,
+                cfg, dtype="float64",
                 row_split_threshold=0, relax_body="never")
         dim = m.dimension
         #: Host preprocessing wall-times (the reference prints its partition

@@ -293,6 +293,72 @@ def dia_fill_native(row: np.ndarray, col: np.ndarray, val: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Native RCM ordering (order-phase hot path; see rcm.cpp).
+# ---------------------------------------------------------------------------
+
+_rcmlib = None
+
+
+def _load_rcm():
+    global _rcmlib
+    if _rcmlib is not None:
+        return _rcmlib
+    path = _compile(os.path.join(_HERE, "rcm.cpp"),
+                    os.path.join(_HERE, "libehybrcm.so"))
+    lib = ctypes.CDLL(path)
+    lib.ehyb_rcm.restype = ctypes.c_longlong
+    lib.ehyb_rcm.argtypes = [
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # xadj [n+1]
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # adjncy [m]
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # out: new_to_old [n]
+    ]
+    lib.ehyb_adjacency.restype = ctypes.c_longlong
+    lib.ehyb_adjacency.argtypes = [
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # row [nnz]
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # col [nnz]
+        ctypes.c_longlong,                               # n vertices
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # out: xadj [n+1]
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # out: adjncy [2*nnz]
+    ]
+    _rcmlib = lib
+    return lib
+
+
+def adjacency_native(row: np.ndarray, col: np.ndarray, n: int):
+    """Symmetrized dedup'd CSR adjacency (see rcm.cpp) — bit-identical to
+    ``partition.py::adjacency_csr``.  Returns (xadj int32 [n+1], adjncy)."""
+    lib = _load_rcm()
+    row = np.ascontiguousarray(row, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    xadj = np.empty(n + 1, dtype=np.int32)
+    adjncy = np.empty(max(2 * row.shape[0], 1), dtype=np.int32)
+    sz = lib.ehyb_adjacency(row.shape[0], row, col, int(n), xadj, adjncy)
+    if sz < 0:
+        raise RuntimeError(f"native adjacency failed (code {sz})")
+    return xadj, adjncy[:sz].copy()
+
+
+def rcm_native(xadj: np.ndarray, adjncy: np.ndarray) -> np.ndarray:
+    """Level-set pseudo-RCM over a CSR adjacency (see rcm.cpp).
+
+    Bit-identical to the NumPy formulation in ``core/ordering.py::rcm_order``
+    (equivalence pinned by tests), so cached artifacts keyed on the ordering
+    stay valid.  Returns int64 ``new_to_old``.
+    """
+    lib = _load_rcm()
+    xadj = np.ascontiguousarray(xadj, dtype=np.int32)
+    adjncy = np.ascontiguousarray(adjncy, dtype=np.int32)
+    n = xadj.shape[0] - 1
+    out = np.empty(n, dtype=np.int64)
+    rc = lib.ehyb_rcm(n, xadj, adjncy, out)
+    if rc < 0:
+        raise RuntimeError(f"native rcm failed (code {rc})")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Native mtx entry parser (data-loader; see mtxparse.cpp).
 # ---------------------------------------------------------------------------
 

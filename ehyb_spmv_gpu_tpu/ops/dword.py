@@ -89,14 +89,61 @@ def _scan_reduce(p, err, seg, n_seg):
     return jnp.take(ys_a, last, axis=0), jnp.take(ys_c, last, axis=0)
 
 
+def pack_long_dword(long_col: np.ndarray, long_val: np.ndarray,
+                    long_seg: np.ndarray, n_long_rows: int):
+    """Host-pack the long-row (col, f64 val, seg) stream into lane-chain
+    layout for the dword reduction: entry j of a row lands at
+    ``(step j // 128, lane j % 128)`` of that row's step range, so each lane
+    carries an ordered stride-128 sub-chain of the row (VERDICT r4 next #4:
+    the chunked two-sum long-row reduction).
+
+    Returns (col2 int32 (S, 128), vh2, vl2 f32 (S, 128), seg2 int32 (S,)):
+    per-step row ids ascending, padding cells carry col 0 / val 0 (exact
+    no-ops under two_sum).
+    """
+    long_seg = np.asarray(long_seg, dtype=np.int64)
+    counts = np.bincount(long_seg, minlength=max(n_long_rows, 1))
+    steps_per = -(-counts // 128)
+    steps_per = np.maximum(steps_per, 1)
+    base = np.concatenate([[0], np.cumsum(steps_per)])
+    S = int(base[-1])
+    col2 = np.zeros((S, 128), dtype=np.int32)
+    vh2 = np.zeros((S, 128), dtype=np.float32)
+    vl2 = np.zeros((S, 128), dtype=np.float32)
+    # entries are already grouped by seg ascending (convert sorts by row)
+    rank = np.arange(long_seg.shape[0], dtype=np.int64) \
+        - np.repeat(np.cumsum(counts) - counts, counts)
+    flat = (base[long_seg] + rank // 128) * 128 + rank % 128
+    col2.reshape(-1)[flat] = np.asarray(long_col, dtype=np.int32)
+    hi, lo = split_f64(np.asarray(long_val, dtype=np.float64))
+    vh2.reshape(-1)[flat] = hi
+    vl2.reshape(-1)[flat] = lo
+    seg2 = np.repeat(np.arange(steps_per.shape[0], dtype=np.int32),
+                     steps_per)
+    return col2, vh2, vl2, seg2
+
+
+def _lane_tree_sum(ya: jax.Array, yc: jax.Array):
+    """Combine the 128 per-lane (sum, comp) chains of each row into one
+    double-word scalar: a log2(128) tree of two_sum merges (blocked
+    compensated summation — each merge is an exact double-word add to
+    O(2^-48), so accuracy matches the ordered chain)."""
+    while ya.shape[1] > 1:
+        h = ya.shape[1] // 2
+        s, e1 = _two_sum(ya[:, :h], ya[:, h:])
+        ya = s
+        yc = yc[:, :h] + yc[:, h:] + e1
+    return ya[:, 0], yc[:, 0]
+
+
 def dword_apply(e: EhybDevice, lo_vals: dict, x_pair: jax.Array) -> jax.Array:
     """Full EHYB SpMV in double-word arithmetic.
 
     ``e`` carries the hi f32 values (the normal device arrays);
-    ``lo_vals`` maps {'ell','er','dia'} to the lo halves; ``x_pair`` is the
-    (2, padded_x) stacked (hi, lo) input.  Long rows are not supported in
-    this mode (the model pins long_row_threshold high; their unordered
-    segment reduction cannot carry compensation).
+    ``lo_vals`` maps {'ell','er','dia'} to the lo halves and (when the
+    matrix has pathological rows) 'long' to the lane-chain packed stream
+    from :func:`pack_long_dword` plus the target rows; ``x_pair`` is the
+    (2, padded_x) stacked (hi, lo) input.
 
     Returns the padded reordered y as float32 PAIRS summed — a single f32
     y would re-round; callers get (2, ny) (hi, lo) and reduce in f64 on
@@ -153,6 +200,18 @@ def dword_apply(e: EhybDevice, lo_vals: dict, x_pair: jax.Array) -> jax.Array:
             yh, e1 = _two_sum(yh, p)
             yl = yl + e1 + err
         acc_h, acc_l = add_at(acc_h, acc_l, jnp.arange(dim_r), yh, yl)
+
+    # --- long-row stream (role of longRowKernel, kernel.cu:43-67; here an
+    # ordered lane-chain scan + two_sum merge tree instead of atomicAdd) ---
+    if "long" in lo_vals:
+        col2, vh2, vl2, seg2, rows = lo_vals["long"]
+        xg_h = jnp.take(xh, col2, axis=0)
+        xg_l = jnp.take(xl, col2, axis=0)
+        p, err = _dword_terms(vh2, vl2, xg_h, xg_l)
+        n_lr = int(rows.shape[0])
+        ya, yc = _scan_reduce(p, err, seg2, n_lr)
+        lh, ll = _lane_tree_sum(ya, yc)
+        acc_h, acc_l = add_at(acc_h, acc_l, rows, lh, ll)
 
     # --- ER tail ---
     if e.er_val.shape[0]:

@@ -90,6 +90,61 @@ def test_dword_split_roundtrip():
     np.testing.assert_allclose(hi.astype(np.float64) + lo, a, rtol=1e-14)
 
 
+def test_dword_long_rows():
+    """Pathological dense rows through the dword lane-chain reduction
+    (pack_long_dword + _lane_tree_sum) — the f64 contract extends to the
+    long-row phase (kernel.cu:43-67 at spmv.h:46 precision; VERDICT r4
+    next #4)."""
+    dim = 4096
+    rng = np.random.default_rng(11)
+    base = generate.random_general(dim, 6, seed=11)
+    # two dense rows whose OUT-OF-WINDOW entry counts exceed the threshold
+    # (the sell layout's long-row trigger, convert.py), cancellation-scale
+    # magnitudes so an f32 reduction visibly loses bits
+    dense_rows, extra_r, extra_c, extra_v = [5, 2700], [], [], []
+    for r in dense_rows:
+        cols = rng.permutation(dim)[:3000]
+        vals = rng.standard_normal(3000) * 10.0 ** rng.uniform(-6, 6, 3000)
+        extra_r.append(np.full(3000, r)); extra_c.append(cols); extra_v.append(vals)
+    from ehyb_spmv_gpu_tpu.core.coo import coalesce
+
+    m = coalesce(MatrixCOO(
+        dim, dim,
+        np.concatenate([base.row] + extra_r),
+        np.concatenate([base.col] + extra_c),
+        np.concatenate([base.val] + extra_v)))
+    cfg = EhybConfig(dword_values=True, artifact_cache=False,
+                     window_budget_bytes=4096, long_row_threshold=256)
+    model = ehyb.EhybXlaSpmv(cfg).setup(m)
+    assert model.ehyb.long_rows.size >= 2, model.ehyb.stats
+    x = deterministic_x(dim)
+    want = oracle_spmv(m, x)
+    assert rel_error(model.matvec(x), want) <= 1e-12
+
+
+def test_pack_long_dword_layout():
+    """Lane-chain packing invariants: per-row step ranges, entry j at
+    (step j//128, lane j%128), padding exact zeros."""
+    from ehyb_spmv_gpu_tpu.ops.dword import pack_long_dword
+
+    rng = np.random.default_rng(0)
+    counts = [300, 1, 129, 128]
+    seg = np.repeat(np.arange(4), counts)
+    col = rng.integers(0, 5000, seg.shape[0])
+    val = rng.standard_normal(seg.shape[0]) * 1e6
+    col2, vh2, vl2, seg2 = pack_long_dword(col, val, seg, 4)
+    steps = [3, 1, 2, 1]
+    assert col2.shape == (sum(steps), 128)
+    np.testing.assert_array_equal(seg2, np.repeat(np.arange(4), steps))
+    # row 0, entry 130 → step 1, lane 2 of row 0's range
+    assert col2[1, 2] == col[130]
+    # padding: row 1 has 1 entry; lanes 1.. are zero
+    assert vh2[3, 1:].sum() == 0 and vl2[3, 1:].sum() == 0
+    # value round-trip at f64 precision
+    np.testing.assert_allclose(
+        vh2[0, 0].astype(np.float64) + vl2[0, 0], val[0], rtol=1e-15)
+
+
 def test_dword_iterate_chain():
     """The bench iterate chain (y fed back as x + eps*y) must handle the
     dword (2, n) (hi, lo) stacks whose padded y length differs from the

@@ -128,6 +128,60 @@ def test_rcm_reduces_bandwidth(scrambled):
     assert bw_after < bw_before / 4
 
 
+def test_native_rcm_equivalence(scrambled, powerlaw_small, monkeypatch):
+    """native/rcm.cpp must be bit-identical to the NumPy level-set RCM —
+    cached artifacts are keyed on the ordering's OUTPUT staying stable, so a
+    divergence would silently mix stale and fresh layouts."""
+    from ehyb_spmv_gpu_tpu.core.ordering import rcm_order
+
+    for m in (scrambled, powerlaw_small):
+        monkeypatch.setenv("EHYB_NATIVE_RCM", "0")
+        ref = rcm_order(m)
+        monkeypatch.setenv("EHYB_NATIVE_RCM", "1")
+        got = rcm_order(m)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_native_adjacency_equivalence(scrambled, powerlaw_small, monkeypatch):
+    """native ehyb_adjacency must match partition.py's NumPy formulation
+    exactly: per-row ascending dedup'd neighbors, diagonal dropped."""
+    from ehyb_spmv_gpu_tpu.partition import adjacency_csr
+
+    for m in (scrambled, powerlaw_small):
+        monkeypatch.setenv("EHYB_NATIVE_ADJ", "0")
+        xr, ar = adjacency_csr(m)
+        monkeypatch.setenv("EHYB_NATIVE_ADJ", "1")
+        xn, an = adjacency_csr(m)
+        np.testing.assert_array_equal(xn, xr)
+        np.testing.assert_array_equal(an, ar)
+
+
+def test_native_rcm_disconnected_and_empty():
+    """Multi-component + isolated-vertex graph: every component gets its own
+    min-degree seed, isolated vertices order as singleton levels."""
+    from ehyb_spmv_gpu_tpu.core.coo import MatrixCOO
+    from ehyb_spmv_gpu_tpu.core.ordering import rcm_order
+
+    # two 3-cliques + 2 isolated vertices (diagonal-only rows)
+    row = np.array([0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 7])
+    col = np.array([1, 2, 0, 2, 0, 1, 4, 5, 3, 5, 3, 4, 6, 7])
+    m = MatrixCOO(8, 8, row, col, np.ones(row.size))
+    import os
+    old = os.environ.get("EHYB_NATIVE_RCM")
+    try:
+        os.environ["EHYB_NATIVE_RCM"] = "0"
+        ref = rcm_order(m)
+        os.environ["EHYB_NATIVE_RCM"] = "1"
+        got = rcm_order(m)
+    finally:
+        if old is None:
+            os.environ.pop("EHYB_NATIVE_RCM", None)
+        else:
+            os.environ["EHYB_NATIVE_RCM"] = old
+    np.testing.assert_array_equal(got, ref)
+    assert np.array_equal(np.sort(got), np.arange(8))
+
+
 def test_rcm_roundtrip(scrambled):
     from ehyb_spmv_gpu_tpu.core.ordering import rcm_order, reordering_from_order
     from ehyb_spmv_gpu_tpu.core.coo import deterministic_x, oracle_spmv
