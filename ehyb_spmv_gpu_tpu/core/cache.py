@@ -53,7 +53,9 @@ def matrix_fingerprint(m: MatrixCOO) -> str:
 
 #: Bump on ANY converter/reorderer semantic change — cached artifacts encode
 #: the conversion algorithm, not just its inputs.
-FORMAT_VERSION = 7  # 7: partition-futility gate gained the rcm-vs-natural
+FORMAT_VERSION = 8  # 8: native greedy relaxed packer (step assignments and
+# so the packed rx body differ from the round election's);
+# 7: partition-futility gate gained the rcm-vs-natural
 # discriminator (large scrambled stencils pick partition orderings again);
 # 6: big streamed variants lift the SMEM gate (the
 # relax/quad auto decisions baked into cached artifacts changed)

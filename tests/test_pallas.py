@@ -206,6 +206,25 @@ def test_rx_slot_consistency(scrambled):
         assert 0 <= (attr >> 7) & 7 < 8
 
 
+def test_rx_native_packer_at_least_as_tight(scrambled, powerlaw_small,
+                                            monkeypatch):
+    """The native greedy packer (routecolor.cpp::ehyb_pack_relaxed) must
+    produce a VALID layout (verify_conversion reconstructs exactly) that is
+    no looser than the round election it replaced — steps = streamed bytes,
+    the body's whole cost model."""
+    from ehyb_spmv_gpu_tpu.core.convert import verify_conversion
+
+    for m in (scrambled, powerlaw_small):
+        monkeypatch.setenv("EHYB_NATIVE_PACK", "1")
+        e_nat, m_r = build_rx(m)
+        verify_conversion(m_r, e_nat)
+        monkeypatch.setenv("EHYB_NATIVE_PACK", "0")
+        e_ele, m_r2 = build_rx(m)
+        verify_conversion(m_r2, e_ele)
+        assert e_nat.stats["ell_steps"] <= e_ele.stats["ell_steps"], \
+            (e_nat.stats["ell_steps"], e_ele.stats["ell_steps"])
+
+
 def test_rx_never_more_steps_than_mw(scrambled):
     e_rx, m_r = build_rx(scrambled)
     cfg = EhybConfig(window_rows=WINDOW_ALIGN, body_layout="sell_mw",

@@ -714,3 +714,24 @@ class TestSmallGate:
         m = self._small_random()
         out = EhybSpmv(EhybConfig(artifact_cache=False)).setup(m)
         assert not isinstance(out, RoutedSpmv), type(out)
+
+    def test_budget_guard_skips_ab(self, tmp_path, monkeypatch):
+        """EHYB_SMALL_GATE_BUDGET below the estimated A/B cost: the gate
+        keeps the body WITHOUT building/measuring the candidate, and caches
+        the verdict so the estimate is paid once (VERDICT r4 weak #8)."""
+        from ehyb_spmv_gpu_tpu.models.routed import RoutedSpmv
+
+        m = self._small_random()
+        monkeypatch.setenv("EHYB_SMALL_GATE_BUDGET", "0.001")
+
+        def boom(*a, **k):
+            raise AssertionError("A/B measured despite budget guard")
+
+        cfg = EhybConfig(artifact_cache=True, cache_dir=str(tmp_path))
+        model = self._patched(cfg, boom)
+        out = model.setup(m)
+        assert not isinstance(out, RoutedSpmv), type(out)
+        # verdict cached as a body win: the warm run skips the estimate too
+        assert model._load_gate_decision(m) is False
+        warm = self._patched(cfg, boom).setup(m)
+        assert not isinstance(warm, RoutedSpmv), type(warm)
