@@ -223,7 +223,8 @@ def _choose_params(n_rows: int, n_cols: int, nnz: int,
 MAX_COLORS = 64
 
 
-def _choose_group_geometry(band_steps: np.ndarray, group_rows: int = 0):
+def _choose_group_geometry(band_steps: np.ndarray, group_rows: int = 0,
+                           bands_cap: int = 0):
     """Search (c bands/block, S_B sub-tiles/grid-step) minimizing
     ``padding + FLAT_STEP_EQ * n_tiles`` — every group pads its steps up to
     the S_B*TS grid quantum, and every grid step costs a flat ~240 ns.
@@ -231,6 +232,12 @@ def _choose_group_geometry(band_steps: np.ndarray, group_rows: int = 0):
     A fixed (2, 32) wasted 28%% of random_1m's stage-B stream in group
     padding; the search typically lands on larger blocks whose quantum sits
     just above c·median(band_steps).
+
+    ``bands_cap`` (when > 0) rejects c where ``ceil(n_bands/c)·c`` exceeds
+    it: stage T produces exactly ``n_bg·128`` band rows (the free 2D-view
+    transpose), and a stage-B grouping that addresses more would force a
+    pad — a full extra HBM pass over the product stream (measured as the
+    ``pad.clone`` op that cost random_1m ~0.2 ms/iter before round 5).
     """
     # kernel bodies unroll s_b sub-tiles; cap available for compile-time
     # experiments (the searched optimum on random_1m is 80)
@@ -254,10 +261,13 @@ def _choose_group_geometry(band_steps: np.ndarray, group_rows: int = 0):
         c_max = max(1, min(c_max,
                            BLOCK_VMEM_BYTES // (group_rows * LANES * 4)))
     c_max = min(c_max, max(n_bands, 1))
-    best = (c_max, min(S_B, sb_max))
+    best = (1, min(S_B, sb_max))
     best_cost = None
     for c in range(1, c_max + 1):
         n_groups = cdiv(n_bands, c)
+        if bands_cap and n_groups * c > bands_cap:
+            continue  # would force a pad pass over the T stream (c=1 is
+            # always feasible: n_bands <= bands_cap by construction)
         pad_n = n_groups * c - n_bands
         gs = np.pad(band_steps, (0, pad_n)).reshape(n_groups, c).sum(axis=1)
         for s_b in range(8, sb_max + 1, 8):  # multiples of 8: the out
@@ -565,9 +575,17 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
             .reshape(n_bands, spb)           # rows per slice
         segs_per_band = spb
     band_steps = wb.sum(axis=1)               # multiples of 8
+    bands_cap = n_bg * LANES                  # band rows stage T produces
     c, s_b = (group_geometry if group_geometry is not None
-              else _choose_group_geometry(band_steps, gr))
+              else _choose_group_geometry(band_steps, gr,
+                                          bands_cap=bands_cap))
+    # pinned geometries (sharded builds, caches from older versions) must
+    # honor the cap too — clamp deterministically (identical inputs give
+    # identical clamps across shards)
+    while cdiv(n_bands, c) * c > bands_cap:
+        c -= 1
     n_groups = cdiv(n_bands, c)
+    assert n_groups * c <= bands_cap, "stage-B grouping exceeds the T stream"
     grp_of_band = np.arange(n_bands) // c
     grp_steps = np.zeros(n_groups, dtype=np.int64)
     np.add.at(grp_steps, grp_of_band, band_steps)

@@ -37,7 +37,10 @@ from .base import SpmvModel
 log = get_logger(__name__)
 
 #: Bump on any route-builder semantic change.
-ROUTE_FORMAT_VERSION = 9  # 9: copy-burst stall term in the group-geometry
+ROUTE_FORMAT_VERSION = 10  # 10: stage T as the free 2D-view transpose +
+# bands_cap group constraint (the 4D transpose compiled to relayout-copy +
+# band pad — two extra full HBM passes over the product stream);
+# 9: copy-burst stall term in the group-geometry
 # search (hardware A/B: padding-optimal c=52 lost ~4% to c=6 on random_1m —
 # the first tile of each group stalls on the 3.3 MB block copy);
 # 8: VMEM-gated stage-B block cap (bands/block

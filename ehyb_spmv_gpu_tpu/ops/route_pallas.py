@@ -24,6 +24,7 @@ window caching has nothing to cache.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -54,6 +55,21 @@ def _route_a_kernel(win_ref, col_ref, val_ref, x_ref, y_ref):
         g = jnp.take_along_axis(rows, lo, axis=1)
         y_ref[i * TS:(i + 1) * TS, :] = \
             val_ref[i * TS:(i + 1) * TS, :] * g
+
+
+#: q-chunk of the stage-T pallas transpose (gr % 8 == 0 always holds:
+#: n_win*P is a multiple of 1024).
+T_QC = 8
+
+
+def _route_t_kernel(in_ref, out_ref):
+    """(128,128)-tile transposes: in (qc*128, 1, 1, 128) band-lane products
+    -> out (1, 128, qc, 128) band-major rows.  Mosaic lowers the 2D ``.T``
+    to the native ``tpu.transpose`` — measured 562 GB/s r+w on v5e where
+    XLA's relayout copy of the same permutation ran at ~130 GB/s plus a
+    second full pad pass (probe_transpose2.py)."""
+    for j in range(T_QC):
+        out_ref[0, :, j, :] = in_ref[j * LANES:(j + 1) * LANES, 0, 0, :].T
 
 
 def _make_route_b_kernel(chain: int, s_b: int, octet: bool):
@@ -203,7 +219,15 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
 
     real = rm.a_real_steps
+    if a_steps_pad != real:
+        # guaranteed by the chooser (n_win*P % 1024 == 0 makes real a
+        # multiple of S_A*TS) — the free 2D-view transpose relies on it
+        raise ValueError(f"A stream padded past real ({a_steps_pad} != "
+                         f"{real}); stage-T view invalid")
     n_groups = int(np.ceil(rm.n_bands / c))
+    if n_groups * c * gr > rm.n_bg * LANES * gr:
+        raise ValueError("stage-B grouping exceeds the T stream (rebuild "
+                         "the schedule: ROUTE_FORMAT_VERSION bump)")
     # Output returns to INPUT space (original row order, padded like x), so
     # apply is layout-chainable — CG and power iteration can drive it like
     # any other model (the reference's solver loop chains its SpMV the same
@@ -231,20 +255,39 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
         x2d = x_pad.reshape(x_rows, LANES)
         return a_call(a_win, dev["a_col"], dev["a_val"], x2d)
 
+    t_grid = (n_bg, gr // T_QC)
+    t_call = pl.pallas_call(
+        _route_t_kernel,
+        grid=t_grid,
+        in_specs=[pl.BlockSpec((T_QC * LANES, 1, 1, LANES),
+                               lambda b, q: (q, b, 0, 0))],
+        out_specs=pl.BlockSpec((1, LANES, T_QC, LANES),
+                               lambda b, q: (b, 0, q, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_bg, LANES, gr, LANES),
+                                       jnp.float32, vma=vma),
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=2 * real * LANES * 4,
+            transcendentals=0),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
+
     def stage_t(prod: jax.Array) -> jax.Array:
-        # T: (w, p, bg, bl) -> (bg, bl, w, p); band groups become contiguous
-        t4 = prod[:real].reshape(n_win, P, n_bg, LANES)
-        tarr = jnp.transpose(t4, (2, 3, 0, 1))
-        # pad the band axis up to whole blocks (bands_per_block * gr rows)
-        t2 = tarr.reshape(n_bg * LANES, gr, LANES)
-        need = n_groups * c
-        if need > n_bg * LANES:
-            t2 = jnp.concatenate(
-                [t2, jnp.zeros((need - n_bg * LANES, gr, LANES),
-                               dtype=t2.dtype)], axis=0)
-        elif need < n_bg * LANES:
-            t2 = t2[:need]
-        return t2.reshape(need * gr, LANES)
+        # T: (w, p, bg, bl) -> (bg, bl, w, p) — band groups become
+        # contiguous.  The permutation is ONE 2D transpose of the free
+        # (n_win*P, n_bg*128) view (both surrounding reshapes are
+        # contiguous reinterpretations); the shipped lowering is the pallas
+        # tile-transpose kernel above, because XLA compiled the same op to
+        # a relayout copy PLUS a band-axis pad (n_groups*c exceeded
+        # n_bg*128 before the geometry cap) — two extra full HBM passes
+        # over the 134 MB product stream on random_1m, ~40% of the whole
+        # iteration (probe_transpose2.py / probe_t_hlo.py, round 5).  Tail
+        # band rows past n_bands are only ever read through masked B slots
+        # (select to 0), so their content is irrelevant — no pad needed.
+        if os.environ.get("EHYB_ROUTE_T", "") == "xla2d":   # A/B hatch
+            t2d = prod.reshape(n_win * P, n_bg * LANES).T
+            return t2d.reshape(n_bg * LANES * gr, LANES)
+        in4 = prod.reshape(n_win * P, n_bg, 1, LANES)
+        return t_call(in4).reshape(n_bg * LANES * gr, LANES)
 
     def stage_b(dev, t2: jax.Array) -> jax.Array:
         gm = dev["b_gmap"] if maps_in_dev else b_gmap
