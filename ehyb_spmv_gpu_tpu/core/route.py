@@ -483,7 +483,13 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     kept = step_a >= 0
     n_spill_a = int((~kept).sum())
 
-    # ---- stage A scatter: step index = (w*P + p)*n_bg + bg ---------------
+    # ---- stage A scatter: step index = bg*(n_win*P) + (w*P + p) ----------
+    # BAND-GROUP-MAJOR since format v11: the fused A+T kernel computes one
+    # (bg, gr-chunk) of products per grid step and writes them through an
+    # in-register tile transpose, so each grid step's col/val block must be
+    # a contiguous run of flat_g for ONE bg.  (v10 and earlier used
+    # flat_g-major with a separate transpose kernel — two extra full HBM
+    # passes over the product stream.)
     a_real_steps = n_win * P * n_bg
     a_steps_pad = round_up(a_real_steps, S_A * TS)
     a_col = np.zeros((a_steps_pad, LANES), dtype=np.int16)
@@ -499,18 +505,18 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     # both sides derive their address from the same flat position.  (The
     # balance-aware colorer already priced stripes THROUGH this map.)
     ks = sperm[kw, ks]
-    sidx = (kw * P + ks) * n_bg + kbg
+    sidx = kbg * (n_win * P) + kw * P + ks
     flat_slot = sidx * LANES + klo
     flat_lane = sidx * LANES + kbl
     ca = a_col.reshape(-1)
     ca[flat_slot] = (khi << 7).astype(np.int16)
     np.bitwise_or.at(ca, flat_lane, klo.astype(np.int16))
     a_val.reshape(-1)[flat_lane] = val[kept].astype(np.float32)
-    # per-sub-tile window rows (P % 8 == 0 so P*n_bg steps per window are
-    # sub-tile aligned; padding tail sub-tiles read window 0 with val 0)
+    # per-sub-tile window rows (P % 8 == 0 keeps every sub-tile inside one
+    # window; padding tail sub-tiles read window 0 with val 0)
     a_win = np.zeros(a_steps_pad // TS, dtype=np.int32)
-    a_win[: a_real_steps // TS] = np.repeat(
-        np.arange(n_win, dtype=np.int32), P * n_bg // TS) * (WIN // LANES)
+    a_win[: a_real_steps // TS] = np.tile(np.repeat(
+        np.arange(n_win, dtype=np.int32), P // TS), n_bg) * (WIN // LANES)
 
     # ---- stage B packing: pair=dst slice, lane=dst row, slot=product lane.
     # Every (slot, class) pair is unique (it names one stage-A cell), so the
@@ -671,6 +677,11 @@ def build_routed(m: MatrixCOO, R: Optional[int] = None,
     sp_cols = np.concatenate([col[~kept], col[kept][~kept_b]])
     sp_vals = np.concatenate([val[~kept], val[kept][~kept_b]])
     sp_dst = dst_of_row[sp_rows].astype(np.int32)
+    # dst-sorted so the apply's scatter-add can carry the
+    # indices_are_sorted hint (detected from the array content, so caches
+    # built before this change stay valid without one)
+    sp_ord = np.argsort(sp_dst, kind="stable")
+    sp_dst, sp_cols, sp_vals = sp_dst[sp_ord], sp_cols[sp_ord], sp_vals[sp_ord]
 
     stats = {
         "nnz": m.nnz,

@@ -37,9 +37,12 @@ from .base import SpmvModel
 log = get_logger(__name__)
 
 #: Bump on any route-builder semantic change.
-ROUTE_FORMAT_VERSION = 10  # 10: stage T as the free 2D-view transpose +
-# bands_cap group constraint (the 4D transpose compiled to relayout-copy +
-# band pad — two extra full HBM passes over the product stream);
+ROUTE_FORMAT_VERSION = 11  # 11: band-group-major A stream for the FUSED
+# A+T kernel (products transpose in-register on the way out — the
+# intermediate product stream is never materialized);
+# 10: stage T as a pallas tile transpose +
+# bands_cap group constraint (the 4D XLA transpose compiled to relayout-copy
+# + band pad — two extra full HBM passes over the product stream);
 # 9: copy-burst stall term in the group-geometry
 # search (hardware A/B: padding-optimal c=52 lost ~4% to c=6 on random_1m —
 # the first tile of each group stalls on the 3.3 MB block copy);
@@ -329,21 +332,20 @@ class RoutedSpmv(SpmvModel):
     def bytes_model(self) -> int:
         """Modeled HBM bytes per iteration (roofline denominator).
 
-        The routed pipeline's traffic is dominated by the product array
-        moving through A-write, T-read, T-write, B-read — 4 passes of
-        4 B/slot over the padded A stream — plus the 2 B index streams of
-        both stages and x once.  This is the honest price of routing: ~5x
-        the nnz bytes of a direct format, traded against the ~14
-        cyc/element gather wall.
+        Since format v11 stages A and T are ONE fused kernel (products
+        transpose in-register), so the product array touches HBM twice —
+        the fused write and the stage-B block read — instead of v10's four
+        passes (A-write, T-read, T-write, B-read).  Plus the index streams
+        of both stages and x once: ~3.5x the nnz bytes of a direct format,
+        traded against the ~14 cyc/element gather wall.
         """
         total = self._padded_x_rows * (4 + 8 * len(self.blocks))
         for rm in self.blocks:
             a_slots = rm.a_col.shape[0] * LANES
             b_slots = rm.b_idx.shape[0] * LANES
-            prod = rm.a_real_steps * LANES * 4
+            prod = rm.n_bg * LANES * rm.group_rows * LANES * 4
             total += int(a_slots * (2 + 4)     # a_col + a_val
-                         + a_slots * 4         # product write (padded)
-                         + 2 * prod            # transpose read + write
+                         + prod                # fused A+T product write
                          + prod                # B block reads (1x per group)
                          + b_slots * 2         # b_idx
                          # y stream: every row (octet) vs one row/sub-tile

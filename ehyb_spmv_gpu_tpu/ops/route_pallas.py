@@ -1,12 +1,15 @@
 """Pallas kernels for the product-routing engine (see core/route.py).
 
-Stage A: gather-multiply.  One grid step = S_A (8,128) sub-tiles; each
-sub-tile serves ONE 1024-element x window (scalar-prefetched window row,
-x VMEM-resident) through the proven two-stage ``tpu.dynamic_gather`` and
-emits raw products — no reduction, the full (8,128) block is the output.
-
-Stage T: a static XLA transpose (window, stripe, band) -> (band, ...) done
-in the apply (jnp.transpose — HBM-bandwidth data movement, no kernel).
+Stage A+T (ONE fused kernel since format v11): gather-multiply + transpose.
+A grid step computes 1024 width-steps of products for ONE band group — each
+(8,128) sub-tile serves ONE 1024-element x window (scalar-prefetched window
+row, x VMEM-resident) through the proven two-stage ``tpu.dynamic_gather`` —
+then writes them out through in-register (128,128)-tile transposes straight
+into the band-major layout stage B consumes.  The v10 pipeline materialized
+the product stream between a separate A kernel and an XLA transpose; the
+transpose compiled to a relayout copy plus a band pad — with the A write
+and T read, FOUR full HBM passes over 134 MB on random_1m where the fused
+kernel pays one write (probe_t_hlo.py / probe_transpose2.py, round 5).
 
 Stage B: route + reduce.  One grid step = s_b sub-tiles (searched per
 matrix with the bands-per-block), all inside one
@@ -24,7 +27,6 @@ window caching has nothing to cache.
 """
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 import jax
@@ -35,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import LANES
-from ..core.route import RoutedMatrix, S_A, TS, WIN
+from ..core.route import RoutedMatrix, TS, WIN
 from ..utils.log import get_logger
 
 log = get_logger(__name__)
@@ -43,33 +45,43 @@ log = get_logger(__name__)
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _route_a_kernel(win_ref, col_ref, val_ref, x_ref, y_ref):
-    """Raw-product emit: y[s, l] = val[s, l] * x_window[hi[s, lo], lo]."""
-    t = pl.program_id(0)
-    for i in range(S_A):
-        win = x_ref[pl.ds(win_ref[t * S_A + i], TS), :]
+#: q-chunk of the fused A+T output (gr % 8 == 0 always holds: n_win*P is a
+#: multiple of 1024).  One grid step = T_QC*LANES = 1024 width-steps (128
+#: sub-tiles) of ONE band group, transposed in-register on the way out.
+T_QC = 8
+#: Sub-tiles computed per fused grid step.
+AT_SUB = T_QC * LANES // TS
+
+
+def _route_at_kernel(win_ref, col_ref, val_ref, x_ref, out_ref, acc_ref):
+    """Fused gather-multiply + transpose (stages A and T of the routed
+    pipeline in one pass).
+
+    Since format v11 the A stream is band-group-major (core/route.py), so a
+    (bg, q) grid step's col/val block is a contiguous 1024-step flat_g run
+    of one bg.  Products accumulate in a VMEM scratch and leave through
+    T_QC (128,128)-tile transposes (Mosaic's native ``tpu.transpose``,
+    562 GB/s r+w measured standalone) into the band-major layout stage B
+    consumes.  Fusing kills the intermediate product stream entirely — the
+    v10 pipeline wrote it (134 MB on random_1m) and re-read it for the
+    transpose; XLA's own lowering of that transpose was a relayout copy
+    plus a band pad, two MORE full passes (probe_t_hlo.py).
+    """
+    b = pl.program_id(0)
+    q = pl.program_id(1)
+    nq = pl.num_programs(1)
+    base = (b * nq + q) * AT_SUB
+    for i in range(AT_SUB):
+        win = x_ref[pl.ds(win_ref[base + i], TS), :]
         idx = col_ref[i * TS:(i + 1) * TS, :].astype(jnp.int32)
         hi = jax.lax.shift_right_logical(idx, 7)
         lo = jax.lax.bitwise_and(idx, 127)
         rows = jnp.take_along_axis(win, hi, axis=0)
         g = jnp.take_along_axis(rows, lo, axis=1)
-        y_ref[i * TS:(i + 1) * TS, :] = \
+        acc_ref[i * TS:(i + 1) * TS, :] = \
             val_ref[i * TS:(i + 1) * TS, :] * g
-
-
-#: q-chunk of the stage-T pallas transpose (gr % 8 == 0 always holds:
-#: n_win*P is a multiple of 1024).
-T_QC = 8
-
-
-def _route_t_kernel(in_ref, out_ref):
-    """(128,128)-tile transposes: in (qc*128, 1, 1, 128) band-lane products
-    -> out (1, 128, qc, 128) band-major rows.  Mosaic lowers the 2D ``.T``
-    to the native ``tpu.transpose`` — measured 562 GB/s r+w on v5e where
-    XLA's relayout copy of the same permutation ran at ~130 GB/s plus a
-    second full pad pass (probe_transpose2.py)."""
     for j in range(T_QC):
-        out_ref[0, :, j, :] = in_ref[j * LANES:(j + 1) * LANES, 0, 0, :].T
+        out_ref[0, :, j, :] = acc_ref[j * LANES:(j + 1) * LANES, :].T
 
 
 def _make_route_b_kernel(chain: int, s_b: int, octet: bool):
@@ -151,7 +163,6 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
     chain = rm.chain
     c = rm.bands_per_block
     a_steps_pad = rm.a_col.shape[0]
-    a_tiles = a_steps_pad // (S_A * TS)
     b_steps_pad = rm.b_idx.shape[0]
     s_b = rm.s_b
     b_tiles = b_steps_pad // (s_b * TS)
@@ -162,29 +173,34 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
     b_reset = jnp.asarray(rm.b_reset)
     b_last = jnp.asarray(rm.b_last)
 
-    spt_a = S_A * TS
-    a_grid = pltpu.PrefetchScalarGridSpec(
+    # ---- fused A+T: grid (band group, flat_g q-chunk) --------------------
+    nq = gr // T_QC
+    at_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(a_tiles,),
+        grid=(n_bg, nq),
         in_specs=[
-            pl.BlockSpec((spt_a, LANES), lambda t, w: (t, 0),
+            pl.BlockSpec((T_QC * LANES, LANES),
+                         lambda b, q, w, nq=nq: (b * nq + q, 0),
                          memory_space=pltpu.VMEM),   # col
-            pl.BlockSpec((spt_a, LANES), lambda t, w: (t, 0),
+            pl.BlockSpec((T_QC * LANES, LANES),
+                         lambda b, q, w, nq=nq: (b * nq + q, 0),
                          memory_space=pltpu.VMEM),   # val
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
         ],
-        out_specs=pl.BlockSpec((spt_a, LANES), lambda t, w: (t, 0),
+        out_specs=pl.BlockSpec((1, LANES, T_QC, LANES),
+                               lambda b, q, w: (b, 0, q, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T_QC * LANES, LANES), jnp.float32)],
     )
-    a_cost = pl.CostEstimate(
+    at_cost = pl.CostEstimate(
         flops=2 * int(rm.stats.get("nnz_routed", 1)),
         bytes_accessed=int(a_steps_pad * LANES * 10),
         transcendentals=0)
-    a_call = pl.pallas_call(
-        _route_a_kernel, grid_spec=a_grid,
-        out_shape=jax.ShapeDtypeStruct((a_steps_pad, LANES), jnp.float32,
+    at_call = pl.pallas_call(
+        _route_at_kernel, grid_spec=at_grid,
+        out_shape=jax.ShapeDtypeStruct((n_bg, LANES, gr, LANES), jnp.float32,
                                        vma=vma),
-        cost_estimate=a_cost, interpret=interpret,
+        cost_estimate=at_cost, interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
 
     spt_b = s_b * TS
@@ -221,9 +237,10 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
     real = rm.a_real_steps
     if a_steps_pad != real:
         # guaranteed by the chooser (n_win*P % 1024 == 0 makes real a
-        # multiple of S_A*TS) — the free 2D-view transpose relies on it
+        # multiple of the fused grid quantum) — the (bg, q) block tiling
+        # of the col/val streams relies on it
         raise ValueError(f"A stream padded past real ({a_steps_pad} != "
-                         f"{real}); stage-T view invalid")
+                         f"{real}); fused A+T block tiling invalid")
     n_groups = int(np.ceil(rm.n_bands / c))
     if n_groups * c * gr > rm.n_bg * LANES * gr:
         raise ValueError("stage-B grouping exceeds the T stream (rebuild "
@@ -251,43 +268,15 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
         scat_src = scat_dst = None
     out_rows = rm.out_rows
 
-    def stage_a(dev, x_pad: jax.Array) -> jax.Array:
+    def stage_at(dev, x_pad: jax.Array) -> jax.Array:
+        # fused A+T: products leave the kernel already band-major (the
+        # (bg, bl, w, p) layout stage B consumes).  Tail band rows past
+        # n_bands are only ever read through masked B slots (select to 0),
+        # so the transpose output needs no pad — the group-geometry search
+        # caps n_groups*c at n_bg*128 (core/route.py bands_cap).
         x2d = x_pad.reshape(x_rows, LANES)
-        return a_call(a_win, dev["a_col"], dev["a_val"], x2d)
-
-    t_grid = (n_bg, gr // T_QC)
-    t_call = pl.pallas_call(
-        _route_t_kernel,
-        grid=t_grid,
-        in_specs=[pl.BlockSpec((T_QC * LANES, 1, 1, LANES),
-                               lambda b, q: (q, b, 0, 0))],
-        out_specs=pl.BlockSpec((1, LANES, T_QC, LANES),
-                               lambda b, q: (b, 0, q, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_bg, LANES, gr, LANES),
-                                       jnp.float32, vma=vma),
-        cost_estimate=pl.CostEstimate(
-            flops=0, bytes_accessed=2 * real * LANES * 4,
-            transcendentals=0),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
-
-    def stage_t(prod: jax.Array) -> jax.Array:
-        # T: (w, p, bg, bl) -> (bg, bl, w, p) — band groups become
-        # contiguous.  The permutation is ONE 2D transpose of the free
-        # (n_win*P, n_bg*128) view (both surrounding reshapes are
-        # contiguous reinterpretations); the shipped lowering is the pallas
-        # tile-transpose kernel above, because XLA compiled the same op to
-        # a relayout copy PLUS a band-axis pad (n_groups*c exceeded
-        # n_bg*128 before the geometry cap) — two extra full HBM passes
-        # over the 134 MB product stream on random_1m, ~40% of the whole
-        # iteration (probe_transpose2.py / probe_t_hlo.py, round 5).  Tail
-        # band rows past n_bands are only ever read through masked B slots
-        # (select to 0), so their content is irrelevant — no pad needed.
-        if os.environ.get("EHYB_ROUTE_T", "") == "xla2d":   # A/B hatch
-            t2d = prod.reshape(n_win * P, n_bg * LANES).T
-            return t2d.reshape(n_bg * LANES * gr, LANES)
-        in4 = prod.reshape(n_win * P, n_bg, 1, LANES)
-        return t_call(in4).reshape(n_bg * LANES * gr, LANES)
+        out4 = at_call(a_win, dev["a_col"], dev["a_val"], x2d)
+        return out4.reshape(n_bg * LANES * gr, LANES)
 
     def stage_b(dev, t2: jax.Array) -> jax.Array:
         gm = dev["b_gmap"] if maps_in_dev else b_gmap
@@ -297,12 +286,18 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
         y3 = b_call(gm, bo, rs, dev["b_idx"], t2)
         return jnp.take(y3.reshape(-1, LANES), bl, axis=0).reshape(-1)
 
+    # builds since round 5 emit dst-sorted spill; detect from content so
+    # older cached schedules simply skip the hint
+    sp_sorted = bool(rm.sp_dst.size == 0
+                     or np.all(np.diff(rm.sp_dst) >= 0))
+
     def apply(dev, x_pad: jax.Array) -> jax.Array:
-        y_dst = stage_b(dev, stage_t(stage_a(dev, x_pad)))
+        y_dst = stage_b(dev, stage_at(dev, x_pad))
         # spill tail: the XLA gather path (role of the ER tail)
         if maps_in_dev or rm.sp_val.size:
             y_dst = y_dst.at[dev["sp_dst"]].add(
-                dev["sp_val"] * x_pad[dev["sp_col"]])
+                dev["sp_val"] * x_pad[dev["sp_col"]],
+                indices_are_sorted=sp_sorted and not maps_in_dev)
         if ident and not maps_in_dev:
             # dst space == input space: synthetic tail rows are exact zeros
             # (masked B slots emit 0), so pad/slice is the whole epilogue
@@ -316,11 +311,11 @@ def make_routed_apply(rm: RoutedMatrix, dtype="float32",
         return jnp.zeros(out_rows, y_dst.dtype).at[sd].set(
             jnp.take(y_dst, ss))
 
-    #: stage prefixes for scripts/route_breakdown.py
-    apply.stages = (stage_a, stage_t, stage_b)
+    #: stage prefixes for scripts/route_breakdown.py (fused A+T, then B)
+    apply.stages = (stage_at, stage_b)
 
-    log.info("routed apply: A %d tiles (%d steps), B %d tiles (%d steps), "
+    log.info("routed apply: A+T %d tiles (%d steps), B %d tiles (%d steps), "
              "chain %d, block %d bands (%.0f KB), spill %d",
-             a_tiles, a_steps_pad, b_tiles, b_steps_pad, chain, c,
+             n_bg * nq, a_steps_pad, b_tiles, b_steps_pad, chain, c,
              c * gr * LANES * 4 / 1024, rm.sp_val.size)
     return apply

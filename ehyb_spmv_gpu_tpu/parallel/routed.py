@@ -302,17 +302,18 @@ class ShardedRoutedSpmv(SpmvModel):
         """Modeled HBM bytes per iteration, summed over the D shards.
 
         Per shard this is the single-device routed traffic model
-        (``models/routed.py::bytes_model``): 4 product-array passes plus
-        both stages' index streams plus the replicated x once per block —
-        shard shapes are uniform by construction, so D x the template."""
+        (``models/routed.py::bytes_model``): since format v11 the fused
+        A+T kernel writes the product array once and stage B reads it once
+        (v10 paid 4 passes), plus both stages' index streams plus the
+        replicated x once per block — shard shapes are uniform by
+        construction, so D x the template."""
         per_dev = self._x_rows * (4 + 8 * len(self.templates))
         for rm in self.templates:
             a_slots = rm.a_col.shape[0] * LANES
             b_slots = rm.b_idx.shape[0] * LANES
-            prod = rm.a_real_steps * LANES * 4
+            prod = rm.n_bg * LANES * rm.group_rows * LANES * 4
             per_dev += int(a_slots * (2 + 4)     # a_col + a_val
-                           + a_slots * 4         # product write (padded)
-                           + 2 * prod            # transpose read + write
+                           + prod                # fused A+T product write
                            + prod                # B block reads
                            + b_slots * 2         # b_idx
                            + (b_slots * 4 if rm.octet

@@ -40,8 +40,8 @@ def main():
     x = deterministic_x(m.dimension)
     x_dev = model.prepare_x(x)
     rm, ap, dv = model.blocks[0], model._applies[0], model.dev[0]
-    stage_a, stage_t, stage_b = ap.stages
-    t2 = jax.block_until_ready(stage_t(stage_a(dv, x_dev)))
+    stage_at, stage_b = ap.stages
+    t2 = jax.block_until_ready(stage_at(dv, x_dev))
     import numpy as np
 
     from ehyb_spmv_gpu_tpu.config import LANES

@@ -49,23 +49,20 @@ def main():
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
         return jax.jit(run)
 
-    # stage prefixes, summed over blocks (block mode runs them per block)
-    def pref_a(xv):
-        outs = []
-        for rm, ap, dv, lo in zip(model.blocks, model._applies, model.dev,
-                                  model._lo):
-            xs = (xv if len(model.blocks) == 1
-                  else jax.lax.slice(xv, (lo,), (lo + rm.padded_x_rows,)))
-            outs.append(ap.stages[0](dv, xs))
-        return outs[0] if len(outs) == 1 else sum(o.ravel()[0] for o in outs)
-
+    # stage prefixes, summed over blocks (block mode runs them per block).
+    # Since format v11 stages = (fused A+T, B): the product stream is never
+    # materialized, so the old A-only prefix no longer exists.  NOTE the
+    # caveat probe_b_split found on the OLD chain: a prefix that ends in
+    # pure XLA ops (the v10 transpose) can be slice-eliminated when only
+    # one element is read — pallas-terminated prefixes (both of these) are
+    # honest.
     def pref_at(xv):
         outs = []
         for rm, ap, dv, lo in zip(model.blocks, model._applies, model.dev,
                                   model._lo):
             xs = (xv if len(model.blocks) == 1
                   else jax.lax.slice(xv, (lo,), (lo + rm.padded_x_rows,)))
-            outs.append(ap.stages[1](ap.stages[0](dv, xs)))
+            outs.append(ap.stages[0](dv, xs))
         return outs[0] if len(outs) == 1 else sum(o.ravel()[0] for o in outs)
 
     def pref_atb(xv):
@@ -77,11 +74,10 @@ def main():
                                   model._lo):
             xs = (xv if len(model.blocks) == 1
                   else jax.lax.slice(xv, (lo,), (lo + rm.padded_x_rows,)))
-            outs.append(ap.stages[2](dv, ap.stages[1](ap.stages[0](dv, xs))))
+            outs.append(ap.stages[1](dv, ap.stages[0](dv, xs)))
         return outs[0] if len(outs) == 1 else sum(o.ravel()[0] for o in outs)
 
-    rows = [("A (gather-multiply)", pref_a),
-            ("A+T ((+transpose)", pref_at),
+    rows = [("A+T (fused gather-multiply-transpose)", pref_at),
             ("A+T+B (+route-reduce)", pref_atb),
             ("full (+spill+scatter)",
              lambda xv: model.apply_operands(model.dev, xv))]
