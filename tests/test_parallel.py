@@ -329,8 +329,16 @@ def test_sharded_degree_split_matches_oracle():
 
 
 def test_sharded_degree_split_iterate():
-    """The tuple-x chained-iteration path (bench protocol) is exact at
-    eps=0 and sums disjoint rows."""
+    """The tuple-x chained-iteration path (bench protocol) does not drift
+    at eps=0 and agrees with the one-shot apply.
+
+    Chained repeats of the SAME compiled program must be bit-identical
+    (n=2 vs n=3: the fori body reruns on bit-identical input).  apply()
+    vs iterate() are two separately compiled XLA programs, and XLA's
+    fusion-context-dependent FMA contraction may differ between them at
+    the last ulp (observed on the CPU interpret path when the routed
+    kernel's inlined graph changed shape in round 5) — across programs
+    the contract is fp tolerance, not bit equality."""
     from ehyb_spmv_gpu_tpu.parallel.hybrid import ShardedDegreeSplitSpmv
 
     m = generate.random_general(4096, 24, seed=6, power_law=0.7)
@@ -338,6 +346,10 @@ def test_sharded_degree_split_iterate():
         EhybConfig(window_rows=1024, artifact_cache=False),
         mesh=make_mesh(2)).setup(m, threshold=32)
     x_dev = model.prepare_x(deterministic_x(m.dimension))
-    y1 = model.apply(x_dev)
+    y2 = model.iterate(x_dev, 2, eps=0.0)
     y3 = model.iterate(x_dev, 3, eps=0.0)
-    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y3))
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y3))
+    y1 = np.asarray(model.apply(x_dev), dtype=np.float64)
+    d = np.abs(y1 - np.asarray(y3, dtype=np.float64))
+    denom = max(float(np.abs(y1).max()), 1e-30)
+    assert float(d.max()) / denom < 1e-6
